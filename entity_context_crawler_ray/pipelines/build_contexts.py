@@ -1,0 +1,263 @@
+"""Pipeline: combined matches store + entities + id_map -> contexts.
+
+Rebuild of ``ecc build-contexts-db`` (reference
+cmd/build_contexts_db.py:158-236).  The reference runs this stage as a
+single serial Python loop over entities; here it is a two-stage Ray
+Data pipeline:
+
+1. **window**: map_batches over the combined store — each row already
+   co-locates a page's text with its matches, so the reference's
+   pages⋈matches shuffle join (dao/matches_db.py:183-193) is elided;
+   the ±size window (SQLite SUBSTR clamping, functions.text.sql_window)
+   is cut immediately and the wide ``clean_text`` column is dropped
+   before anything shuffles (SURVEY.md §7.5(3)).
+2. **per-entity group**: groupby(entity_id).map_groups — deterministic
+   sample of ≤K windows, per-entity PhraseMatcher from
+   {label} ∪ mentions, crop (token or sentence mode), strict-span
+   pruning + '#' masking, rid lookup.
+
+Determinism: the reference's sampling depends on global ``random``
+state threaded through a serially-shuffled entity loop
+(cmd/build_contexts_db.py:188-212); the rebuild derives a stable rank
+per context row — rank = blake2b(seed, entity, page, start_char,
+mention) — so the sampled set is independent of partitioning and
+iteration order (SURVEY.md §4).  Hot-entity skew: when K is set, each
+input batch pre-keeps only the K smallest ranks per entity (the global
+K smallest is a subset of per-batch K smallest), so no entity group
+ever exceeds K×num_batches rows in the shuffle — and the kept set is
+exactly correct, not approximate.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+from ..functions.hashing import stable_hash64
+from ..functions.matcher import PhraseMatcher
+from ..functions.text import (
+    crop_sentences_mode,
+    crop_tokens,
+    mask_context,
+    sql_window,
+)
+
+CONTEXTS_SCHEMA = pa.schema(
+    [
+        ("entity", pa.int64()),
+        ("entity_label", pa.string()),
+        ("mention", pa.string()),
+        ("page_title", pa.string()),
+        ("context", pa.string()),
+        ("masked_context", pa.string()),
+    ]
+)
+
+_WINDOW_COLS = ["entity_id", "mention", "page_title", "window", "rank"]
+
+
+class WindowMatches:
+    """Combined rows -> one row per match with its ±size window.
+
+    Stateless map_batches task: nested matches are exploded in Python
+    (each row is heavy — full page text — so per-row work dominates),
+    and the output carries only narrow columns."""
+
+    def __init__(self, context_size: int, seed: int, limit_contexts: Optional[int]):
+        self.size = context_size
+        self.seed = seed
+        self.limit = limit_contexts
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = {c: [] for c in _WINDOW_COLS}
+        titles = batch["title"].to_pylist()
+        texts = batch["clean_text"].to_pylist()
+        matches_col = batch["matches"].to_pylist()
+        for title, text, matches in zip(titles, texts, matches_col):
+            for m in matches:
+                out["entity_id"].append(m["entity_id"])
+                out["mention"].append(m["mention"])
+                out["page_title"].append(title)
+                out["window"].append(
+                    sql_window(text, m["start_char"], m["end_char"], self.size)
+                )
+                out["rank"].append(
+                    stable_hash64(
+                        "ctx-sample",
+                        self.seed,
+                        m["entity_id"],
+                        title,
+                        m["start_char"],
+                        m["mention"],
+                    )
+                )
+        t = pa.table(
+            {
+                "entity_id": pa.array(out["entity_id"], pa.string()),
+                "mention": pa.array(out["mention"], pa.string()),
+                "page_title": pa.array(out["page_title"], pa.string()),
+                "window": pa.array(out["window"], pa.string()),
+                "rank": pa.array(out["rank"], pa.uint64()),
+            }
+        )
+        if self.limit is not None and t.num_rows:
+            # partial top-K combiner: keep K smallest ranks per entity
+            df = t.to_pandas()
+            df = (
+                df.sort_values("rank", kind="mergesort")
+                .groupby("entity_id", sort=False)
+                .head(self.limit)
+            )
+            t = pa.Table.from_pandas(df, preserve_index=False)
+        return t
+
+
+def _make_group_fn(
+    lookup_ref,
+    crop_sentences: bool,
+    limit_contexts: Optional[int],
+):
+    def per_entity(group: pd.DataFrame) -> pd.DataFrame:
+        lookup = ray.get(lookup_ref)
+        eid_info: Dict[str, tuple] = lookup["eid_info"]
+        mentions_by_entity: Dict[str, list] = lookup["mentions_by_entity"]
+        allowed = lookup["allowed"]
+
+        empty = pd.DataFrame(
+            {c: pd.Series(dtype=d) for c, d in (
+                ("entity", np.int64),
+                ("entity_label", object),
+                ("mention", object),
+                ("page_title", object),
+                ("context", object),
+                ("masked_context", object),
+            )}
+        )
+        if group.empty:
+            return empty
+        eid = group["entity_id"].iloc[0]
+        if eid not in eid_info or (allowed is not None and eid not in allowed):
+            return empty
+        rid, label = eid_info[eid]
+
+        # deterministic sample of ≤K (reference shuffle + head,
+        # cmd/build_contexts_db.py:210-212)
+        group = group.sort_values("rank", kind="mergesort")
+        if limit_contexts is not None:
+            group = group.head(limit_contexts)
+
+        # per-entity matcher: {label} ∪ distinct mentions
+        # (reference cmd/build_contexts_db.py:215-218)
+        patterns = {label} | set(mentions_by_entity.get(eid, ()))
+        matcher = PhraseMatcher(patterns)
+
+        rows = []
+        for window, page_title, mention in zip(
+            group["window"], group["page_title"], group["mention"]
+        ):
+            # crop (reference :239-300); empty crops drop
+            if crop_sentences:
+                cropped = crop_sentences_mode(window, matcher)
+            else:
+                cropped = crop_tokens(window)
+            if not cropped:
+                continue
+            # mask (reference :303-354); spanless contexts drop
+            masked = mask_context(cropped, matcher)
+            if masked is None:
+                continue
+            rows.append((rid, label, mention, page_title, cropped, masked))
+
+        if not rows:
+            return empty
+        return pd.DataFrame(
+            rows,
+            columns=[
+                "entity",
+                "entity_label",
+                "mention",
+                "page_title",
+                "context",
+                "masked_context",
+            ],
+        )
+
+    return per_entity
+
+
+def build_contexts(
+    combined: ray.data.Dataset,
+    entities: pa.Table,
+    id_map: pa.Table,
+    mentions_by_entity: Dict[str, list],
+    *,
+    context_size: int = 100,
+    crop_sentences: bool = False,
+    limit_contexts: Optional[int] = None,
+    limit_entities: Optional[int] = None,
+    seed: int = 42,
+) -> ray.data.Dataset:
+    """combined store (or a (title, clean_text, matches) projection of
+    it) -> contexts Dataset (lazy)."""
+    # eligible entities: in id_map (semi-join drop, reference :193-194)
+    # with a non-empty page_title (empty-URL skip, reference :201-204)
+    rid_of = dict(
+        zip(id_map["entity_id"].to_pylist(), id_map["rid"].to_pylist())
+    )
+    eid_info: Dict[str, tuple] = {}
+    for eid, label, title in zip(
+        entities["entity_id"].to_pylist(),
+        entities["label"].to_pylist(),
+        entities["page_title"].to_pylist(),
+    ):
+        if title and eid in rid_of:
+            eid_info[eid] = (rid_of[eid], label)
+
+    # --limit-entities: first N eligible entities in seeded order
+    # (conformance definition per SURVEY.md §4: seeded stable order,
+    # not global random state)
+    allowed = None
+    if limit_entities is not None:
+        ordered = sorted(eid_info, key=lambda e: stable_hash64("entity-order", seed, e))
+        allowed = set(ordered[:limit_entities])
+
+    lookup_ref = ray.put(
+        {
+            "eid_info": eid_info,
+            "mentions_by_entity": mentions_by_entity,
+            "allowed": allowed,
+        }
+    )
+
+    eligible = set(eid_info) if allowed is None else allowed
+
+    def prefilter(t: pa.Table) -> pa.Table:
+        mask = pa.array([e in eligible for e in t["entity_id"].to_pylist()])
+        return t.filter(mask)
+
+    windows = combined.map_batches(
+        WindowMatches(context_size, seed, limit_contexts),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).map_batches(prefilter, batch_format="pyarrow", zero_copy_batch=True)
+
+    return (
+        windows.groupby("entity_id")
+        .map_groups(
+            _make_group_fn(lookup_ref, crop_sentences, limit_contexts),
+            batch_format="pandas",
+        )
+    )
+
+
+def context_stats(contexts: ray.data.Dataset) -> ray.data.Dataset:
+    """Per-entity context counts — the reference's CSV sidecar
+    (cmd/build_contexts_db.py:234-236), as a grouped count."""
+    from ray.data.aggregate import Count
+
+    return contexts.groupby("entity_label").aggregate(Count(alias_name="n_contexts"))

@@ -1,0 +1,131 @@
+"""Pipeline: docs + entities -> combined matches store
+(pages ⊎ nested matches/mentions), and the exploded table views.
+
+Rebuild of ``ecc build-matches-db`` (reference
+cmd/build_matches_db.py:144-186).  The reference funnels every insert
+through one SQLite connection in the main process; here each task
+writes its own partitioned parquet and the "tables" are column-pruned
+reads of the combined store — the matches view reads ONLY
+(title, matches), never the wide ``clean_text`` column.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+
+from ..sources.docs import entities_index
+from ..stages.match import PageProcessor
+
+
+def build_matches(
+    docs: ray.data.Dataset,
+    entities: pa.Table,
+    *,
+    concurrency: int | tuple = 2,
+    batch_size: int = 64,
+) -> ray.data.Dataset:
+    """docs -> combined rows (lazy).  Entity indexes are broadcast via
+    ``ray.put`` once and read per actor in ``PageProcessor.__init__``."""
+    ref = ray.put(entities_index(entities))
+    return docs.map_batches(
+        PageProcessor,
+        fn_constructor_args=(ref,),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
+def write_store(combined: ray.data.Dataset, out_dir: str) -> None:
+    """Persist the combined store as partitioned parquet (many part
+    files — resumable unit is the part file; SURVEY.md §4 checkpoint
+    row)."""
+    combined.write_parquet(out_dir)
+
+
+def read_store(store_dir: str, columns: Optional[list] = None) -> ray.data.Dataset:
+    return ray.data.read_parquet(store_dir, columns=columns)
+
+
+# --- exploded table views (vectorized, zero-copy Arrow) -------------------
+
+
+def _explode(batch: pa.Table, list_col: str, parent_cols: list) -> pa.Table:
+    """Explode one list<struct> column, repeating parent columns.
+    Vectorized via list_parent_indices + flatten (no Python row loop)."""
+    col = batch[list_col].combine_chunks()
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    parent_idx = pc.list_parent_indices(col)
+    flat = pc.list_flatten(col)
+    arrays = [pc.take(batch[c], parent_idx) for c in parent_cols]
+    names = list(parent_cols)
+    for field in flat.type:
+        arrays.append(pc.struct_field(flat, field.name))
+        names.append(field.name)
+    return pa.table(dict(zip(names, arrays)))
+
+
+def pages_view(combined: ray.data.Dataset) -> ray.data.Dataset:
+    """pages table (reference dao/matches_db.py:29-44): title,
+    clean_text + 7 stats columns; error rows excluded."""
+    cols = [
+        "title",
+        "clean_text",
+        "link_count",
+        "entity_link_count",
+        "mention_count",
+        "unique_mention_count",
+        "text_len",
+        "clean_text_len",
+        "match_count",
+    ]
+    return combined.map_batches(
+        lambda t: t.filter(pc.equal(t["error"], "")).select(cols),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def matches_view(combined: ray.data.Dataset) -> ray.data.Dataset:
+    """matches table (reference dao/matches_db.py:81-94); naturally
+    unique on the PK (entity_id, page, start_char, mention) because the
+    matcher emits distinct spans per page."""
+
+    def explode(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["error"], "")).select(["title", "matches"])
+        out = _explode(t, "matches", ["title"])
+        return out.rename_columns(
+            ["page", "entity_id", "entity_label", "mention", "start_char", "end_char", "context"]
+        )
+
+    return combined.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def mentions_view(combined: ray.data.Dataset) -> ray.data.Dataset:
+    """mentions table with exact dedup on (entity_id, mention)
+    (reference UNIQUE constraint dao/matches_db.py:131).  Partial dedup
+    per batch first (combiner), then the global hash-partitioned
+    dedup — the shuffle moves only pre-deduped keys."""
+
+    def explode_dedup(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["error"], "")).select(["mentions"])
+        out = _explode(t, "mentions", [])
+        return out.group_by(["entity_id", "mention"]).aggregate(
+            [("entity_label", "min")]
+        ).rename_columns(["entity_id", "mention", "entity_label"])
+
+    exploded = combined.map_batches(
+        explode_dedup, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return (
+        exploded.groupby(["entity_id", "mention"])
+        .map_groups(lambda g: g.head(1), batch_format="pandas")
+        .select_columns(["entity_id", "entity_label", "mention"])
+    )
