@@ -1,0 +1,554 @@
+"""Frontier-driven crawl over the doc store (north_rule core).
+
+The reference approximates a crawl by a single pass over a dump in
+file order (SURVEY.md §2.9); its "frontier" is implicitly the 1-hop
+link neighborhood of the seed entity pages (reference README.md:5).
+The rebuild makes that explicit: a priority URL frontier drained in
+rounds, with
+
+- a sharded **bloom seen-filter** (state/bloom.py) probed and marked
+  from distributed ``map_batches`` stages,
+- per-host **politeness token buckets + robots budgets**
+  (state/politeness.py) applied in a ``groupby(host)`` admission
+  stage (optionally pre-truncated per salted sub-bucket for hot
+  hosts — the exact-top-K combiner trick, SURVEY.md §7.4),
+- a global **priority sort + round budget** split
+  (``sort.split_at_indices``), deterministic via (priority desc, url
+  asc) ordering,
+- **fetch+extract** as an actor-pool ``map_batches`` over the
+  hash-partitioned doc store, running the stage-1 matcher per fetched
+  page (stages/match.py) and emitting out-links for the next round,
+- per-round **checkpoints** (frontier parquet + bloom/politeness
+  snapshots + manifest, state/checkpoint.py) making the crawl
+  resumable, and per-round partitioned parquet output
+  (``out_dir/round=r/``) with a ``round`` lineage column.
+
+Round semantics (the conformance definition the parity simulator in
+tests/crawl_sim reproduces):
+
+1. frontier dedup by url (max priority, min depth);
+2. drop urls the bloom filter has seen;
+3. per-host admission: robots-denied dropped, then up to
+   ``tokens(host)`` admitted in (priority desc, url) order, rest
+   deferred to the next round;
+4. global round budget: top ``round_budget`` by (priority desc, url)
+   fetched, rest deferred;
+5. fetched urls marked seen; pages extracted; out-links of pages at
+   depth < max_depth become next-round candidates with
+   priority = in-degree + entity_bonus·[target is entity page];
+6. next frontier = deferred ∪ new candidates; stop when empty.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray
+import ray.data
+
+from ..functions.hashing import stable_hash64
+from ..sources.doc_store import DocStoreReader
+from ..sources.docs import host_of
+from ..stages.match import COMBINED_SCHEMA, PageProcessor, process_doc
+from ..state.bloom import BloomShardActor, ShardedSeenFilter
+from ..state.politeness import PolitenessShardActor, politeness_shard_of
+
+FRONTIER_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("host", pa.string()),
+        ("priority", pa.float64()),
+        ("depth", pa.int32()),
+    ]
+)
+
+LINK_ITEM = pa.struct([("target", pa.string()), ("is_entity", pa.bool_())])
+
+
+@dataclass
+class CrawlConfig:
+    max_depth: int = 1
+    round_budget: int = 1 << 30
+    capacity: int = 1 << 30          # politeness bucket capacity (tokens)
+    refill: int = 1 << 30            # tokens refilled per round
+    deny: Dict[str, List[str]] = field(default_factory=dict)    # host -> url prefixes
+    host_budget: Dict[str, int] = field(default_factory=dict)   # host -> lifetime cap
+    num_bloom_shards: int = 4
+    bloom_bits: int = 1 << 22
+    num_politeness_shards: int = 2
+    hot_host_salt: int = 0           # >0 enables salted pre-truncation
+    entity_bonus: float = 10.0
+    fetch_batch_size: int = 64
+    fetch_concurrency: int | tuple = 2
+    doc_store_partitions: int = 32
+    max_rounds: int = 64             # safety backstop
+
+
+# Worker-process-global cache: the crawl loop launches a fresh Dataset
+# execution per round, so per-execution actor pools would cold-start
+# every round.  Fetch/probe/mark stages are therefore stateless TASKS
+# whose heavy state (doc-store partition cache, entity indexes) lives
+# in this per-worker-process cache — loaded once per worker, shared
+# across rounds (the long-lived-pool equivalent for a round-driven
+# driver loop; at cluster scale the same cache amortizes across the
+# whole crawl because Ray reuses worker processes).
+_WORKER_CACHE: Dict = {}
+
+
+def _fetch_state(store_dir: str, num_partitions: int, entities_ref):
+    key = ("fetch", store_dir)
+    st = _WORKER_CACHE.get(key)
+    if st is None:
+        idx = (
+            ray.get(entities_ref)
+            if isinstance(entities_ref, ray.ObjectRef)
+            else entities_ref
+        )
+        st = (
+            DocStoreReader(store_dir, num_partitions),
+            idx["title_to_eid"],
+            idx["eid_to_label"],
+        )
+        _WORKER_CACHE[key] = st
+    return st
+
+
+class FetchExtract:
+    """Fetch stage body: admitted frontier rows -> combined page rows
+    (+ out_links for the frontier).  Constructed per task, but all
+    state comes from the worker-global cache (see _WORKER_CACHE)."""
+
+    def __init__(self, store_dir: str, num_partitions: int, entities_ref):
+        self.reader, self.title_to_eid, self.eid_to_label = _fetch_state(
+            store_dir, num_partitions, entities_ref
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls = batch["url"].to_pylist()
+        depths = batch["depth"].to_pylist()
+        rounds = batch["round"].to_pylist()
+        hits, missing = self.reader.lookup(urls)
+        missing_set = set(missing)
+        rows, out_links, fetched, out_depth, out_round = [], [], [], [], []
+        for url, depth, rnd in zip(urls, depths, rounds):
+            if url in missing_set:
+                row = {k.name: None for k in COMBINED_SCHEMA}
+                row.update(
+                    title=url, clean_text="", matches=[], mentions=[],
+                    error="fetch-miss",
+                )
+                rows.append(row)
+                out_links.append([])
+                fetched.append(False)
+            else:
+                spans = hits[url]
+                try:
+                    rows.append(
+                        process_doc(url, spans, self.title_to_eid, self.eid_to_label)
+                    )
+                except Exception as exc:  # noqa: BLE001 — poison-row guard
+                    row = {k.name: None for k in COMBINED_SCHEMA}
+                    row.update(
+                        title=url, clean_text="", matches=[], mentions=[],
+                        error=f"{type(exc).__name__}: {exc}",
+                    )
+                    rows.append(row)
+                out_links.append(
+                    [
+                        {
+                            "target": s["media_ref"],
+                            "is_entity": s["media_ref"] in self.title_to_eid,
+                        }
+                        for s in spans
+                        if s["kind"] == "link" and s["media_ref"]
+                    ]
+                )
+                fetched.append(True)
+            out_depth.append(depth)
+            out_round.append(rnd)
+        t = pa.Table.from_pylist(rows, schema=COMBINED_SCHEMA)
+        t = t.append_column("out_links", pa.array(out_links, pa.list_(LINK_ITEM)))
+        t = t.append_column("fetched", pa.array(fetched, pa.bool_()))
+        t = t.append_column("depth", pa.array(out_depth, pa.int32()))
+        t = t.append_column("round", pa.array(out_round, pa.int32()))
+        return t
+
+
+def make_probe_filter(handles):
+    """map_batches task fn: drop urls the bloom filter reports seen."""
+
+    def probe_filter(batch: pa.Table) -> pa.Table:
+        urls = batch["url"].to_pylist()
+        if not urls:
+            return batch
+        seen = ShardedSeenFilter(handles).probe(urls)
+        return batch.filter(pa.array([not s for s in seen]))
+
+    return probe_filter
+
+
+def make_mark_seen(handles):
+    """map_batches task fn: mark every url seen (idempotent bit-OR)."""
+
+    def mark_seen(batch: pa.Table) -> pa.Table:
+        urls = batch["url"].to_pylist()
+        if urls:
+            ShardedSeenFilter(handles).set_seen(urls)
+        return batch
+
+    return mark_seen
+
+
+def _frontier_dedup(frontier: ray.data.Dataset) -> ray.data.Dataset:
+    """Dedup candidates by url: max priority, min depth (host rederived)."""
+    from ray.data.aggregate import Max, Min
+
+    agg = frontier.groupby("url").aggregate(
+        Max("priority", alias_name="priority"), Min("depth", alias_name="depth")
+    )
+
+    def add_host(t: pa.Table) -> pa.Table:
+        hosts = pa.array([host_of(u) for u in t["url"].to_pylist()], pa.string())
+        return t.append_column("host", hosts)
+
+    return agg.map_batches(add_host, batch_format="pyarrow")
+
+
+def _make_admit_fn(handles, round_id: int, salt_truncated: bool):
+    def admit(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            g = g.assign(status=pd.Series(dtype=object))
+            return g
+        host = g["host"].iloc[0]
+        g = g.sort_values(["priority", "url"], ascending=[False, True])
+        shard = politeness_shard_of(host, len(handles))
+        admitted, deferred, denied = ray.get(
+            handles[shard].admit.remote(round_id, host, g["url"].tolist())
+        )
+        status = {}
+        for u in admitted:
+            status[u] = "admit"
+        for u in deferred:
+            status[u] = "defer"
+        for u in denied:
+            status[u] = "deny"
+        g = g.assign(status=g["url"].map(status))
+        return g
+
+    return admit
+
+
+def _make_salt_truncate_fn(capacity: int, deny: Dict[str, List[str]]):
+    """Per (host, salt) bucket: robots-deny locally, keep top-capacity
+    by (priority desc, url); the rest is deferred without touching the
+    politeness actor (global top-capacity ⊆ union of bucket top-capacity)."""
+
+    def truncate(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return g.assign(status=pd.Series(dtype=object)).drop(columns=["salt"])
+        host = g["host"].iloc[0]
+        prefixes = tuple(deny.get(host, ()))
+        g = g.sort_values(["priority", "url"], ascending=[False, True])
+        denied_mask = (
+            g["url"].map(lambda u: any(u.startswith(p) for p in prefixes))
+            if prefixes
+            else pd.Series(False, index=g.index)
+        )
+        denied = g[denied_mask].assign(status="deny")
+        ok = g[~denied_mask]
+        kept = ok.head(capacity).assign(status=None)
+        deferred = ok.iloc[capacity:].assign(status="defer")
+        return pd.concat([kept, deferred, denied]).drop(columns=["salt"])
+
+    return truncate
+
+
+def crawl(
+    store_dir: str,
+    seeds: pa.Table,
+    entities_ref,
+    out_dir: str,
+    config: CrawlConfig,
+    *,
+    ckpt_dir: Optional[str] = None,
+    resume: bool = False,
+) -> Dict:
+    """Run the crawl to frontier exhaustion.  Returns metrics.
+
+    ``seeds``: (url, priority).  ``entities_ref``: ray.put of
+    sources.docs.entities_index output.  Output: combined page rows
+    under ``out_dir/round=r/`` + ``fetch_log`` parquet per round."""
+    from ..state.checkpoint import latest_round, load_checkpoint, save_checkpoint
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    bloom = [
+        BloomShardActor.remote(config.bloom_bits) for _ in range(config.num_bloom_shards)
+    ]
+    pol_cfg = {
+        "capacity": config.capacity,
+        "refill": config.refill,
+        "deny": config.deny,
+        "budget": config.host_budget,
+    }
+    politeness = [
+        PolitenessShardActor.remote(pol_cfg)
+        for _ in range(config.num_politeness_shards)
+    ]
+
+    start_round = 0
+    frontier_table: pa.Table
+    if resume and ckpt_dir is not None and latest_round(ckpt_dir) is not None:
+        state = load_checkpoint(ckpt_dir)
+        start_round = state["round"] + 1
+        frontier_table = state["frontier"]
+        ShardedSeenFilter(bloom).restore(state["bloom"])
+        ray.get(
+            [h.restore.remote(s) for h, s in zip(politeness, state["politeness"])]
+        )
+    else:
+        urls = seeds["url"].to_pylist()
+        frontier_table = pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "host": pa.array([host_of(u) for u in urls], pa.string()),
+                "priority": seeds["priority"],
+                "depth": pa.array([0] * len(urls), pa.int32()),
+            }
+        )
+
+    metrics: Dict = {"rounds": [], "urls_fetched": 0, "pages_extracted": 0}
+    t_start = time.time()
+
+    for round_id in range(start_round, config.max_rounds):
+        if frontier_table.num_rows == 0:
+            break
+        t_round = time.time()
+        frontier = ray.data.from_arrow(frontier_table)
+
+        candidates = _frontier_dedup(frontier)
+        unseen = candidates.map_batches(
+            make_probe_filter(bloom), batch_format="pyarrow"
+        )
+
+        # per-host admission (optionally salted pre-truncation first)
+        if config.hot_host_salt > 1:
+            def add_salt(t: pa.Table) -> pa.Table:
+                salts = pa.array(
+                    [
+                        stable_hash64("hostsalt", u) % config.hot_host_salt
+                        for u in t["url"].to_pylist()
+                    ],
+                    pa.int32(),
+                )
+                return t.append_column("salt", salts)
+
+            pre = (
+                unseen.map_batches(add_salt, batch_format="pyarrow")
+                .groupby(["host", "salt"])
+                .map_groups(
+                    _make_salt_truncate_fn(config.capacity, config.deny),
+                    batch_format="pandas",
+                )
+            )
+            cols = ["url", "host", "priority", "depth", "status"]
+            to_admit = pre.filter(lambda r: r["status"] is None).drop_columns(
+                ["status"]
+            )
+            pre_decided = pre.filter(lambda r: r["status"] is not None).select_columns(
+                cols
+            )
+            admitted_all = (
+                to_admit.groupby("host")
+                .map_groups(
+                    _make_admit_fn(politeness, round_id, True), batch_format="pandas"
+                )
+                .select_columns(cols)
+                .union(pre_decided)
+            )
+        else:
+            admitted_all = unseen.groupby("host").map_groups(
+                _make_admit_fn(politeness, round_id, False), batch_format="pandas"
+            ).select_columns(["url", "host", "priority", "depth", "status"])
+
+        admitted_all = admitted_all.materialize()
+        admitted = admitted_all.filter(lambda r: r["status"] == "admit").drop_columns(
+            ["status"]
+        )
+        deferred_politeness = admitted_all.filter(
+            lambda r: r["status"] == "defer"
+        ).drop_columns(["status"])
+        n_denied = admitted_all.filter(lambda r: r["status"] == "deny").count()
+
+        # global round budget: deterministic (priority desc, url asc)
+        admitted_sorted = admitted.sort(
+            ["priority", "url"], descending=[True, False]
+        ).materialize()
+        n_admitted = admitted_sorted.count()
+        if n_admitted > config.round_budget:
+            fetch_ds, over_budget = admitted_sorted.split_at_indices(
+                [config.round_budget]
+            )
+        else:
+            fetch_ds, over_budget = admitted_sorted, None
+
+        # fetch log (crawl-ordering parity artifact)
+        fetch_tbl = pa.Table.from_pandas(
+            fetch_ds.to_pandas(), preserve_index=False
+        )
+        log_dir = os.path.join(out_dir, "fetch_log")
+        os.makedirs(log_dir, exist_ok=True)
+        log_tbl = fetch_tbl.append_column(
+            "rank", pa.array(range(fetch_tbl.num_rows), pa.int64())
+        ).append_column(
+            "round", pa.array([round_id] * fetch_tbl.num_rows, pa.int32())
+        )
+        pq.write_table(log_tbl, os.path.join(log_dir, f"round_{round_id}.parquet"))
+
+        if fetch_tbl.num_rows:
+            fetch_in = ray.data.from_arrow(
+                fetch_tbl.append_column(
+                    "round", pa.array([round_id] * fetch_tbl.num_rows, pa.int32())
+                )
+            )
+            marked = fetch_in.map_batches(
+                make_mark_seen(bloom), batch_format="pyarrow"
+            )
+
+            def fetch_extract(batch: pa.Table) -> pa.Table:
+                return FetchExtract(
+                    store_dir, config.doc_store_partitions, entities_ref
+                )(batch)
+
+            extracted = marked.map_batches(
+                fetch_extract,
+                batch_format="pyarrow",
+                batch_size=config.fetch_batch_size,
+                num_cpus=1,
+            ).materialize()
+
+            # page output with lineage column (round)
+            pages_out = extracted.drop_columns(["out_links", "fetched", "depth"])
+            pages_out.write_parquet(os.path.join(out_dir, f"round={round_id}"))
+
+            n_fetched = extracted.filter(lambda r: r["fetched"]).count()
+            n_missing = fetch_tbl.num_rows - n_fetched
+
+            # out-links -> next-round candidates
+            def explode_links(t: pa.Table) -> pa.Table:
+                col = t["out_links"].combine_chunks()
+                parent = pc.list_parent_indices(col)
+                flat = pc.list_flatten(col)
+                depths = pc.take(t["depth"], parent)
+                return pa.table(
+                    {
+                        "target": pc.struct_field(flat, "target"),
+                        "is_entity": pc.cast(
+                            pc.struct_field(flat, "is_entity"), pa.int8()
+                        ),
+                        "src_depth": depths,
+                    }
+                )
+
+            links = extracted.map_batches(explode_links, batch_format="pyarrow")
+            links = links.filter(lambda r: r["src_depth"] < config.max_depth)
+
+            from ray.data.aggregate import Count, Max, Min
+
+            link_agg = links.groupby("target").aggregate(
+                Count(alias_name="in_degree"),
+                Max("is_entity", alias_name="is_entity"),
+                Min("src_depth", alias_name="src_depth"),
+            )
+
+            def to_frontier(t: pa.Table) -> pa.Table:
+                urls = t["target"].to_pylist()
+                prio = pc.add(
+                    pc.cast(t["in_degree"], pa.float64()),
+                    pc.multiply(
+                        pc.cast(t["is_entity"], pa.float64()),
+                        pa.scalar(config.entity_bonus, pa.float64()),
+                    ),
+                )
+                return pa.table(
+                    {
+                        "url": pa.array(urls, pa.string()),
+                        "host": pa.array([host_of(u) for u in urls], pa.string()),
+                        "priority": prio,
+                        "depth": pc.cast(
+                            pc.add(t["src_depth"], pa.scalar(1, pa.int32())), pa.int32()
+                        ),
+                    }
+                )
+
+            new_frontier = link_agg.map_batches(to_frontier, batch_format="pyarrow")
+        else:
+            n_fetched = 0
+            n_missing = 0
+            new_frontier = None
+
+        # next frontier = politeness-deferred ∪ over-budget ∪ new links
+        parts = [deferred_politeness]
+        if over_budget is not None:
+            parts.append(over_budget)
+        if new_frontier is not None:
+            parts.append(new_frontier)
+        nxt = parts[0]
+        for p in parts[1:]:
+            nxt = nxt.union(p)
+        pdf = nxt.to_pandas()
+        frontier_table = (
+            pa.Table.from_pandas(pdf, preserve_index=False).cast(FRONTIER_SCHEMA)
+            if len(pdf)
+            else pa.table(
+                {
+                    "url": pa.array([], pa.string()),
+                    "host": pa.array([], pa.string()),
+                    "priority": pa.array([], pa.float64()),
+                    "depth": pa.array([], pa.int32()),
+                }
+            )
+        )
+
+        metrics["urls_fetched"] += fetch_tbl.num_rows
+        metrics["pages_extracted"] += n_fetched
+        metrics["rounds"].append(
+            {
+                "round": round_id,
+                "candidates": frontier.count(),
+                "admitted": n_admitted,
+                "fetched": fetch_tbl.num_rows,
+                "extracted": n_fetched,
+                "fetch_misses": n_missing,
+                "robots_denied": n_denied,
+                "deferred": deferred_politeness.count()
+                + (over_budget.count() if over_budget is not None else 0),
+                "new_frontier": frontier_table.num_rows,
+                "sec": round(time.time() - t_round, 3),
+            }
+        )
+
+        if ckpt_dir is not None:
+            save_checkpoint(
+                ckpt_dir,
+                round_id,
+                frontier_table,
+                ShardedSeenFilter(bloom).snapshot(),
+                ray.get([h.snapshot.remote() for h in politeness]),
+            )
+
+    metrics["wall_sec"] = round(time.time() - t_start, 3)
+    metrics["urls_per_sec"] = round(
+        metrics["urls_fetched"] / max(metrics["wall_sec"], 1e-9), 2
+    )
+    for h in bloom + politeness:
+        ray.kill(h)
+    return metrics

@@ -1,0 +1,82 @@
+"""Hash-partitioned doc store — the crawl's "web".
+
+The reference reads a dump in file order (util/wikipedia.py:4-77); the
+rebuild's fetch stage instead looks pages up by normalized title
+(doc_id) in a doc store standing in for the web (SURVEY.md §3.4
+"fetch" row).  Layout: ``store_dir/part=P/part.parquet`` with
+``P = hash(doc_id) % num_partitions`` — a fetch batch touches only the
+partitions its doc_ids hash into (partition pruning by key), and each
+fetch actor caches the partitions it has read (at 10^10 scale the
+cache is an LRU over Lance fragments; here whole partitions at sandbox
+scale)."""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional, Tuple
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray.data
+
+from ..functions.hashing import stable_hash64
+
+DEFAULT_PARTITIONS = 32
+
+
+def doc_partition(doc_id: str, num_partitions: int) -> int:
+    return stable_hash64("docstore", doc_id) % num_partitions
+
+
+def write_doc_store(
+    docs: ray.data.Dataset, store_dir: str, num_partitions: int = DEFAULT_PARTITIONS
+) -> None:
+    """Partition docs by hash(doc_id) and write one dir per partition.
+
+    Uses a shuffle repartition keyed on the partition id so each output
+    file holds exactly one key range — the layout fetches prune on."""
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        parts = pa.array(
+            [doc_partition(d, num_partitions) for d in batch["doc_id"].to_pylist()],
+            pa.int32(),
+        )
+        return batch.append_column("part", parts)
+
+    with_part = docs.map_batches(add_part, batch_format="pyarrow")
+    with_part.write_parquet(store_dir, partition_cols=["part"])
+
+
+class DocStoreReader:
+    """Batched point-lookup over the partitioned store (used inside
+    fetch actors; one instance per actor, partitions cached)."""
+
+    def __init__(self, store_dir: str, num_partitions: int = DEFAULT_PARTITIONS):
+        self.store_dir = store_dir
+        self.num_partitions = num_partitions
+        self._cache: Dict[int, Dict[str, list]] = {}
+
+    def _partition_index(self, part: int) -> Dict[str, list]:
+        if part not in self._cache:
+            path = os.path.join(self.store_dir, f"part={part}")
+            idx: Dict[str, list] = {}
+            if os.path.isdir(path):
+                table = pq.read_table(path, columns=["doc_id", "spans"])
+                for d, s in zip(
+                    table["doc_id"].to_pylist(), table["spans"].to_pylist()
+                ):
+                    idx[d] = s
+            self._cache[part] = idx
+        return self._cache[part]
+
+    def lookup(self, doc_ids: List[str]) -> Tuple[Dict[str, list], List[str]]:
+        """-> ({doc_id: spans} for hits, [missing doc_ids])."""
+        hits: Dict[str, list] = {}
+        missing: List[str] = []
+        for d in doc_ids:
+            idx = self._partition_index(doc_partition(d, self.num_partitions))
+            if d in idx:
+                hits[d] = idx[d]
+            else:
+                missing.append(d)
+        return hits, missing

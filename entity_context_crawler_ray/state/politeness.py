@@ -1,0 +1,126 @@
+"""Per-host politeness token buckets + robots budgets (north_rule;
+no reference counterpart — the reference reads a local dump and needs
+no politeness, SURVEY.md §2.3 ST6).
+
+One ``HostPolicy`` per host: a token bucket (``capacity`` tokens,
+``refill`` tokens added per crawl round — rounds stand in for wall
+time in the dump-driven sandbox) plus a robots model (deny-prefixes
+and an optional per-host ``crawl_budget`` = lifetime fetch cap).
+
+Buckets live in ``PolitenessShard`` actors keyed by
+``hash(host) % num_shards`` — actor count scales with the number of
+distinct hosts, not with URL volume.  The pure class is reused by the
+crawl-parity simulator.
+
+Determinism / idempotence: ``admit`` is called exactly once per
+(round, host) because the crawl loop groups candidates by host before
+admission; a retried call with the same (round, host) key returns the
+cached decision instead of double-charging the bucket.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Sequence, Tuple
+
+import ray
+
+from ..functions.hashing import stable_hash64
+
+
+class HostPolicy:
+    def __init__(
+        self,
+        capacity: int,
+        refill: int,
+        deny_prefixes: Tuple[str, ...] = (),
+        crawl_budget: int | None = None,
+    ):
+        self.capacity = capacity
+        self.refill = refill
+        self.deny_prefixes = tuple(deny_prefixes)
+        self.crawl_budget = crawl_budget
+        self.tokens = capacity
+        self.fetched_total = 0
+        self.last_round = -1
+
+    def admit(self, round_id: int, urls_by_priority: Sequence[str]) -> Tuple[List[str], List[str], List[str]]:
+        """-> (admitted, deferred, robots_denied). urls must arrive
+        sorted by descending priority (tie-broken by url)."""
+        if round_id > self.last_round:
+            rounds = round_id - self.last_round if self.last_round >= 0 else 0
+            self.tokens = min(self.capacity, self.tokens + rounds * self.refill)
+            self.last_round = round_id
+        allowed, denied = [], []
+        for url in urls_by_priority:
+            if any(url.startswith(p) for p in self.deny_prefixes):
+                denied.append(url)
+            else:
+                allowed.append(url)
+        if self.crawl_budget is not None:
+            room = max(0, self.crawl_budget - self.fetched_total)
+            denied.extend(allowed[room:])
+            allowed = allowed[:room]
+        take = min(self.tokens, len(allowed))
+        admitted, deferred = allowed[:take], allowed[take:]
+        self.tokens -= take
+        self.fetched_total += take
+        return admitted, deferred, denied
+
+
+class PolitenessShard:
+    """Holds HostPolicy state for every host hashing to this shard."""
+
+    def __init__(self, config: Dict):
+        # config: {"capacity": int, "refill": int,
+        #          "deny": {host: [prefix,...]}, "budget": {host: int}}
+        self.config = config
+        self.hosts: Dict[str, HostPolicy] = {}
+        self._cache: Dict[Tuple[int, str], tuple] = {}
+
+    def _host(self, host: str) -> HostPolicy:
+        if host not in self.hosts:
+            self.hosts[host] = HostPolicy(
+                capacity=self.config.get("capacity", 1 << 30),
+                refill=self.config.get("refill", 1 << 30),
+                deny_prefixes=tuple(self.config.get("deny", {}).get(host, ())),
+                crawl_budget=self.config.get("budget", {}).get(host),
+            )
+        return self.hosts[host]
+
+    def admit(self, round_id: int, host: str, urls_by_priority: List[str]):
+        key = (round_id, host)
+        if key not in self._cache:
+            self._cache[key] = self._host(host).admit(round_id, urls_by_priority)
+            if len(self._cache) > 4096:
+                self._cache = {key: self._cache[key]}
+        return self._cache[key]
+
+    def snapshot(self) -> Dict:
+        return {
+            "config": self.config,
+            "hosts": {
+                h: {
+                    "tokens": p.tokens,
+                    "fetched_total": p.fetched_total,
+                    "last_round": p.last_round,
+                }
+                for h, p in self.hosts.items()
+            },
+        }
+
+    def restore(self, snap: Dict) -> None:
+        self.config = snap["config"]
+        self.hosts = {}
+        self._cache = {}
+        for h, st in snap["hosts"].items():
+            pol = self._host(h)
+            pol.tokens = st["tokens"]
+            pol.fetched_total = st["fetched_total"]
+            pol.last_round = st["last_round"]
+
+
+PolitenessShardActor = ray.remote(num_cpus=0.1)(PolitenessShard)
+
+
+def politeness_shard_of(host: str, num_shards: int) -> int:
+    return stable_hash64("politeness-shard", host) % num_shards

@@ -1,0 +1,210 @@
+"""Crawl machinery tests: bloom shards, politeness, ordering parity
+vs the pure-Python simulator, checkpoint/resume, hot-host salting."""
+
+import glob
+import os
+import shutil
+
+import pandas as pd
+import pyarrow.dataset as pads
+import pyarrow.parquet as pq
+import pytest
+import ray
+
+from entity_context_crawler_ray.pipelines.crawl import CrawlConfig, crawl
+from entity_context_crawler_ray.sources.doc_store import (
+    DocStoreReader,
+    write_doc_store,
+)
+from entity_context_crawler_ray.sources.docs import (
+    entity_catalog,
+    entities_index,
+    read_docs,
+    seed_table,
+)
+from entity_context_crawler_ray.state.bloom import BloomShard
+from entity_context_crawler_ray.state.politeness import HostPolicy
+
+from crawl_sim import simulate_crawl
+
+SF = "/root/testdata/sf0.001"
+BASE = "/tmp/ecc_test_crawl"
+
+
+def test_bloom_shard_basics():
+    b = BloomShard(num_bits=1 << 16)
+    urls = [f"u{i}" for i in range(100)]
+    assert b.probe(urls) == [False] * 100
+    b.set_seen(urls[:50])
+    probed = b.probe(urls)
+    assert probed[:50] == [True] * 50
+    assert sum(probed[50:]) <= 1  # tiny FP allowance
+    # idempotent re-mark
+    b.set_seen(urls[:50])
+    assert b.probe(urls[:50]) == [True] * 50
+    # snapshot round-trip
+    snap = b.snapshot()
+    b2 = BloomShard(num_bits=1 << 16)
+    b2.restore(snap)
+    assert b2.probe(urls[:50]) == [True] * 50
+
+
+def test_host_policy_budget_and_robots():
+    p = HostPolicy(capacity=2, refill=1, deny_prefixes=("bad",), crawl_budget=4)
+    adm, dfr, den = p.admit(0, ["a", "b", "bad1", "c"])
+    assert adm == ["a", "b"] and dfr == ["c"] and den == ["bad1"]
+    adm, dfr, den = p.admit(1, ["c", "d"])  # 1 token refilled
+    assert adm == ["c"] and dfr == ["d"]
+    adm, dfr, den = p.admit(2, ["d", "e"])  # lifetime budget 4: 1 room left
+    assert adm == ["d"] and "e" in dfr + den
+
+
+@pytest.fixture(scope="module")
+def store_and_inputs():
+    shutil.rmtree(BASE, ignore_errors=True)
+    store = f"{BASE}/docstore"
+    docs_ds = read_docs(SF)
+    write_doc_store(docs_ds, store, num_partitions=8)
+    ents = entity_catalog(SF)
+    ref = ray.put(entities_index(ents))
+    docs_local = {
+        r["doc_id"]: r["spans"] for r in docs_ds.iter_rows()
+    }
+    seeds = seed_table(SF)
+    return store, ref, docs_local, entities_index(ents), seeds
+
+
+def _run(store, ref, seeds, cfg, tag, ckpt=False, resume=False):
+    out = f"{BASE}/out_{tag}"
+    if not resume:
+        shutil.rmtree(out, ignore_errors=True)
+    return (
+        crawl(
+            store,
+            seeds,
+            ref,
+            out,
+            cfg,
+            ckpt_dir=f"{BASE}/ckpt_{tag}" if ckpt else None,
+            resume=resume,
+        ),
+        out,
+    )
+
+
+def _read_fetch_log(out) -> pd.DataFrame:
+    files = sorted(glob.glob(f"{out}/fetch_log/*.parquet"))
+    return (
+        pd.concat([pq.read_table(f).to_pandas() for f in files])
+        .sort_values(["round", "rank"])
+        .reset_index(drop=True)
+    )
+
+
+def test_crawl_matches_simulator(store_and_inputs):
+    store, ref, docs_local, idx, seeds = store_and_inputs
+    cfg = CrawlConfig(
+        max_depth=1,
+        round_budget=40,
+        capacity=5,
+        refill=3,
+        deny={"h3": ["Doc_1"]},
+        host_budget={"h5": 7},
+        num_bloom_shards=2,
+        num_politeness_shards=2,
+        doc_store_partitions=8,
+        max_rounds=40,
+    )
+    metrics, out = _run(store, ref, seeds, cfg, "parity")
+    sim = simulate_crawl(
+        docs_local,
+        list(zip(seeds["url"].to_pylist(), seeds["priority"].to_pylist())),
+        idx["title_to_eid"],
+        cfg,
+    )
+    log = _read_fetch_log(out)
+    got = list(zip(log["round"], log["rank"], log["url"]))
+    assert got == sim["fetch_log"]  # crawl ordering parity
+    assert set(log["url"]) == sim["seen"]  # final URL-seen set parity
+    assert metrics["urls_fetched"] == len(sim["fetch_log"])
+
+
+def test_crawl_salting_equivalent(store_and_inputs):
+    store, ref, docs_local, idx, seeds = store_and_inputs
+    kw = dict(
+        max_depth=1,
+        round_budget=40,
+        capacity=5,
+        refill=3,
+        num_bloom_shards=2,
+        num_politeness_shards=2,
+        doc_store_partitions=8,
+        max_rounds=40,
+    )
+    _, out_plain = _run(store, ref, seeds, CrawlConfig(**kw), "plain")
+    _, out_salted = _run(
+        store, ref, seeds, CrawlConfig(hot_host_salt=4, **kw), "salted"
+    )
+    a, b = _read_fetch_log(out_plain), _read_fetch_log(out_salted)
+    pd.testing.assert_frame_equal(
+        a[["round", "rank", "url"]], b[["round", "rank", "url"]]
+    )
+
+
+def test_crawl_resume_equivalence(store_and_inputs):
+    store, ref, docs_local, idx, seeds = store_and_inputs
+    kw = dict(
+        max_depth=1,
+        round_budget=30,
+        capacity=4,
+        refill=2,
+        num_bloom_shards=2,
+        num_politeness_shards=2,
+        doc_store_partitions=8,
+    )
+    # uninterrupted run
+    m_full, out_full = _run(
+        store, ref, seeds, CrawlConfig(max_rounds=40, **kw), "full", ckpt=True
+    )
+    # interrupted after round 0 (max_rounds=1), then resumed
+    m_a, out_part = _run(
+        store, ref, seeds, CrawlConfig(max_rounds=1, **kw), "part", ckpt=True
+    )
+    m_b, _ = _run(
+        store,
+        ref,
+        seeds,
+        CrawlConfig(max_rounds=40, **kw),
+        "part",
+        ckpt=True,
+        resume=True,
+    )
+    full_log = _read_fetch_log(out_full)
+    part_log = _read_fetch_log(out_part)
+    pd.testing.assert_frame_equal(
+        full_log[["round", "rank", "url"]], part_log[["round", "rank", "url"]]
+    )
+    assert m_full["urls_fetched"] == m_a["urls_fetched"] + m_b["urls_fetched"]
+    # extracted pages: union of rounds matches too
+    n_full = pads.dataset(
+        out_full, format="parquet", partitioning="hive", ignore_prefixes=["fetch_log"]
+    ).count_rows()
+    n_part = pads.dataset(
+        out_part, format="parquet", partitioning="hive", ignore_prefixes=["fetch_log"]
+    ).count_rows()
+    assert n_full == n_part
+
+
+def test_doc_store_lookup(store_and_inputs):
+    store, ref, docs_local, idx, seeds = store_and_inputs
+    reader = DocStoreReader(store, 8)
+    some = list(docs_local)[:7]
+    hits, missing = reader.lookup(some + ["Doc_nonexistent"])
+    assert missing == ["Doc_nonexistent"]
+    for d in some:
+        assert [
+            (s["kind"], s["text"], s["media_ref"], s["offset"]) for s in hits[d]
+        ] == [
+            (s["kind"], s["text"], s["media_ref"], s["offset"])
+            for s in docs_local[d]
+        ]
