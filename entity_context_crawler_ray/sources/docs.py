@@ -112,9 +112,27 @@ def _doc_spans(idx: int, text: str, n_docs: int, replica: int) -> List[dict]:
         )
         offset += 1
 
-    # source sentences become text spans (document order)
-    for sent in split_sentences(text):
-        add("text", sent)
+    # The source documents are lowercase word soup without punctuation;
+    # sentencify deterministically: chunks of 7 words, capitalized and
+    # period-terminated — except every 5th chunk stays lowercase and
+    # every 7th is truncated short, so the cleaner's uppercase/length
+    # filters (reference cmd/build_matches_db.py:344-350) have real
+    # work on every page.
+    words = text.split()
+    sents = []
+    for ci, start in enumerate(range(0, len(words), 9)):
+        chunk = words[start : start + 9]
+        if ci % 7 == 3:
+            chunk = chunk[:3]  # short sentence: fails the >=40-char rule
+        sent = " ".join(chunk)
+        if not sent:
+            continue
+        if ci % 5 != 2:  # every 5th stays lowercase: fails isupper rule
+            sent = sent[0].upper() + sent[1:] + "."
+        sents.append(sent)
+    # two sentences per text span (a span = a paragraph downstream)
+    for i in range(0, len(sents), 2):
+        add("text", " ".join(sents[i : i + 2]))
 
     # inject 0-3 links to entity pages + an anchor sentence each, so the
     # matcher has hits that survive the cleaner
