@@ -1,0 +1,147 @@
+"""Relational operator library: broadcast joins, explicit bucketed
+hash join, semi-join, dedup-first, top-k, grouped windows.
+
+These are the generic forms of the reference's joins/lookups
+(SURVEY.md §2.4): J1/J3/J4 are broadcast probes, J2 is the shuffle
+join.  The bucketed join is the portable explicit pattern (union two
+tagged sides, groupby bucket, merge per group) used when
+``Dataset.join`` isn't a fit; both are provided.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+from ..functions.hashing import stable_hash64
+
+
+def broadcast_inner_join(
+    ds: ray.data.Dataset,
+    small: pa.Table,
+    on: str,
+    right_on: Optional[str] = None,
+) -> ray.data.Dataset:
+    """Inner join with a broadcast small side (ray.put once, pandas
+    merge per batch) — no shuffle.  The reference's per-page
+    links⋈entities probe (cmd/build_matches_db.py:252) generalized."""
+    right_on = right_on or on
+    ref = ray.put(small.to_pandas())
+
+    def join(batch: pd.DataFrame) -> pd.DataFrame:
+        rhs = ray.get(ref)
+        return batch.merge(rhs, left_on=on, right_on=right_on, how="inner")
+
+    return ds.map_batches(join, batch_format="pandas")
+
+
+def broadcast_semi_join(
+    ds: ray.data.Dataset, keys, on: str
+) -> ray.data.Dataset:
+    """Keep rows whose ``on`` value is in the broadcast key set."""
+    key_set = set(keys)
+    ref = ray.put(key_set)
+
+    def filt(batch: pa.Table) -> pa.Table:
+        ks = ray.get(ref)
+        mask = pa.array([v in ks for v in batch[on].to_pylist()])
+        return batch.filter(mask)
+
+    return ds.map_batches(filt, batch_format="pyarrow")
+
+
+def hash_join_bucketed(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    on: str,
+    num_buckets: int = 16,
+    right_on: Optional[str] = None,
+    suffix: str = "_r",
+) -> ray.data.Dataset:
+    """Explicit partitioned hash join: tag each side, bucket by
+    hash(key) % B, groupby(bucket), pandas merge per bucket.  Skewed
+    keys: raise num_buckets or salt the hot key's bucket upstream."""
+    right_on = right_on or on
+    l_schema, r_schema = left.schema(), right.schema()
+    l_names, r_names = list(l_schema.names), list(r_schema.names)
+
+    def _arrow_type(typ) -> pa.DataType:
+        # pandas-backed datasets report numpy dtypes / `object`
+        if isinstance(typ, pa.DataType):
+            return typ
+        try:
+            return pa.from_numpy_dtype(typ)
+        except (pa.ArrowNotImplementedError, TypeError):
+            return pa.string()
+
+    # unified schema: union of both sides' columns by name + tag cols
+    unified: list = []
+    seen = {}
+    for name, typ in list(zip(l_names, l_schema.types)) + list(
+        zip(r_names, r_schema.types)
+    ):
+        if name not in seen:
+            seen[name] = typ
+            unified.append((name, _arrow_type(typ)))
+
+    def tag(side: str, key: str, own: List[str]):
+        def fn(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            cols = {}
+            for name, typ in unified:
+                cols[name] = t[name] if name in own else pa.nulls(n, typ)
+            cols["__bucket"] = pa.array(
+                [stable_hash64("join-bucket", v) % num_buckets for v in t[key].to_pylist()],
+                pa.int32(),
+            )
+            cols["__side"] = pa.array([side] * n)
+            return pa.table(cols)
+
+        return fn
+
+    lt = left.map_batches(tag("l", on, l_names), batch_format="pyarrow")
+    rt = right.map_batches(tag("r", right_on, r_names), batch_format="pyarrow")
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        lhs = g[g["__side"] == "l"][l_names]
+        rhs = g[g["__side"] == "r"][r_names]
+        if lhs.empty or rhs.empty:
+            return pd.DataFrame(columns=[*dict.fromkeys(l_names + r_names)])
+        return lhs.merge(
+            rhs, left_on=on, right_on=right_on, how="inner", suffixes=("", suffix)
+        )
+
+    # union of tagged sides co-partitions both on the bucket key
+    return lt.union(rt).groupby("__bucket").map_groups(
+        merge, batch_format="pandas"
+    )
+
+
+def dedup_first(
+    ds: ray.data.Dataset,
+    keys: Sequence[str],
+    order_by: Sequence[str],
+    ascending: bool = True,
+) -> ray.data.Dataset:
+    """One row per key group: the first by ``order_by`` — the
+    INSERT-OR-IGNORE pattern (reference dao/matches_db.py:51-62)
+    made deterministic."""
+
+    def first(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(list(order_by), ascending=ascending).head(1)
+
+    return ds.groupby(list(keys)).map_groups(first, batch_format="pandas")
+
+
+def top_k(
+    ds: ray.data.Dataset,
+    by: Sequence[str],
+    k: int,
+    descending: Sequence[bool],
+) -> ray.data.Dataset:
+    """Global top-k via distributed sort + limit."""
+    return ds.sort(list(by), descending=list(descending)).limit(k)

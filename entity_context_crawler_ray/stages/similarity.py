@@ -1,0 +1,158 @@
+"""Similarity search over an embedding column (list<float>).
+
+- ``knn_bruteforce``: exact cosine top-k — numpy matmul per batch
+  against a broadcast query vector, per-batch local top-k (the partial
+  combiner), then a tiny global sort+limit over batch winners.
+- ``lsh_buckets`` + ``knn_ivf``: the scale paths — sign-bit random
+  projections bucket the space so candidate generation is local; IVF
+  probes only the nearest centroid partitions.
+
+All math in float64 for cross-engine determinism vs the DuckDB
+``list_cosine_similarity`` oracle.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+from ..functions.hashing import stable_hash64
+
+
+def _normalize(mat: np.ndarray) -> np.ndarray:
+    return mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+
+
+def knn_bruteforce(
+    embeddings: ray.data.Dataset,
+    query: Sequence[float],
+    k: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> ray.data.Dataset:
+    """Exact top-k by cosine, deterministic tie-break on (−sim, id)."""
+    q = np.asarray(query, dtype=np.float64)
+    q = q / max(np.linalg.norm(q), 1e-12)
+    q_ref = ray.put(q)
+
+    def score_topk(batch: pa.Table) -> pa.Table:
+        qv = ray.get(q_ref)
+        ids = np.asarray(batch[id_col].to_pylist())
+        mat = _normalize(np.stack(batch[vec_col].to_pylist()).astype(np.float64))
+        sims = mat @ qv
+        if len(ids) > k:
+            part = np.argpartition(-sims, k)[:k]
+            ids, sims = ids[part], sims[part]
+        return pa.table(
+            {
+                id_col: pa.array(ids.tolist(), pa.int64()),
+                "cosine": pa.array(sims.tolist(), pa.float64()),
+            }
+        )
+
+    partial = embeddings.map_batches(score_topk, batch_format="pyarrow")
+    # global winners: tiny dataset (k per batch), exact sort + limit
+    return partial.sort(["cosine", id_col], descending=[True, False]).limit(k)
+
+
+class SignLSH:
+    """Random-projection sign-bit bucketing (deterministic planes from
+    blake2b seeds).  Vectors in the same bucket are ANN candidates."""
+
+    def __init__(self, dim: int, n_bits: int = 8, seed: int = 42):
+        rows = []
+        for b in range(n_bits):
+            vals = [
+                (stable_hash64("lsh-plane", seed, b, d) / 2**63) - 1.0
+                for d in range(dim)
+            ]
+            rows.append(vals)
+        self.planes = np.asarray(rows, dtype=np.float64)
+
+    def bucket(self, mat: np.ndarray) -> np.ndarray:
+        signs = (mat @ self.planes.T) > 0
+        return (signs * (1 << np.arange(signs.shape[1]))).sum(axis=1)
+
+
+def lsh_buckets(
+    embeddings: ray.data.Dataset,
+    n_bits: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> ray.data.Dataset:
+    """Assign each vector its LSH bucket id (map_batches; the groupby
+    on ``bucket`` downstream co-locates candidates)."""
+    state = {}
+
+    def assign(batch: pa.Table) -> pa.Table:
+        mat = np.stack(batch[vec_col].to_pylist()).astype(np.float64)
+        if "lsh" not in state:
+            state["lsh"] = SignLSH(mat.shape[1], n_bits, seed)
+        buckets = state["lsh"].bucket(_normalize(mat))
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "bucket": pa.array(buckets.tolist(), pa.int64()),
+            }
+        )
+
+    return embeddings.map_batches(assign, batch_format="pyarrow")
+
+
+def knn_ivf(
+    embeddings: ray.data.Dataset,
+    query: Sequence[float],
+    k: int = 20,
+    n_bits: int = 4,
+    n_probe_hamming: int = 1,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> ray.data.Dataset:
+    """Approximate top-k: probe only LSH buckets within
+    ``n_probe_hamming`` bits of the query's bucket — the IVF-style
+    pruned scan (recall traded for a ~2^bits reduction in work)."""
+    q = np.asarray(query, dtype=np.float64)
+    qn = q / max(np.linalg.norm(q), 1e-12)
+    dim = len(q)
+    lsh = SignLSH(dim, n_bits, seed)
+    q_bucket = int(lsh.bucket(qn[None, :])[0])
+    probe = {
+        b
+        for b in range(1 << n_bits)
+        if bin(b ^ q_bucket).count("1") <= n_probe_hamming
+    }
+    q_ref = ray.put(qn)
+
+    def score(batch: pa.Table) -> pa.Table:
+        qv = ray.get(q_ref)
+        ids = np.asarray(batch[id_col].to_pylist())
+        mat = _normalize(np.stack(batch[vec_col].to_pylist()).astype(np.float64))
+        buckets = lsh.bucket(mat)
+        mask = np.isin(buckets, list(probe))
+        ids, mat = ids[mask], mat[mask]
+        if len(ids) == 0:
+            return pa.table(
+                {id_col: pa.array([], pa.int64()), "cosine": pa.array([], pa.float64())}
+            )
+        sims = mat @ qv
+        if len(ids) > k:
+            part = np.argpartition(-sims, k)[:k]
+            ids, sims = ids[part], sims[part]
+        return pa.table(
+            {
+                id_col: pa.array(ids.tolist(), pa.int64()),
+                "cosine": pa.array(sims.tolist(), pa.float64()),
+            }
+        )
+
+    return (
+        embeddings.map_batches(score, batch_format="pyarrow")
+        .sort(["cosine", id_col], descending=[True, False])
+        .limit(k)
+    )

@@ -1,0 +1,129 @@
+"""Text-analysis operators over a ``text`` column: token counting,
+quality scoring, language-ID, document fingerprinting.
+
+These extend the reference's per-page stats (M13, reference
+cmd/build_matches_db.py:305-313) with the operations a large-scale
+training-data pipeline needs.  Every function is a vectorized-or-
+compiled-regex ``map_batches`` body over Arrow batches; the regexes
+are RE2-compatible so each operator has an exact DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+from typing import List
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.text import TOKEN_PATTERN
+
+_TOKEN_RE = re.compile(TOKEN_PATTERN)
+_WORD_RE = re.compile(r"[A-Za-z0-9_]+")
+_PUNCT_RE = re.compile(r"[^A-Za-z0-9_\s]")
+
+# tiny deterministic stopword lists (language-ID heuristic)
+STOPWORDS = {
+    "en": ("the", "a", "of", "and", "to", "in", "is"),
+    "de": ("der", "die", "das", "und", "ein", "zu", "ist"),
+    "es": ("el", "la", "de", "y", "un", "es", "en"),
+}
+EN_STOP = set(STOPWORDS["en"])
+
+
+def doc_stats(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """n_tokens, n_words, n_punct, text_chars per row."""
+    texts = batch[text_col].to_pylist()
+    n_tokens = [len(_TOKEN_RE.findall(t)) for t in texts]
+    n_words = [len(_WORD_RE.findall(t)) for t in texts]
+    n_punct = [len(_PUNCT_RE.findall(t)) for t in texts]
+    out = batch.drop_columns([text_col])
+    out = out.append_column("n_tokens", pa.array(n_tokens, pa.int64()))
+    out = out.append_column("n_words", pa.array(n_words, pa.int64()))
+    out = out.append_column("n_punct", pa.array(n_punct, pa.int64()))
+    out = out.append_column("text_chars", pc.cast(pc.utf8_length(batch[text_col]), pa.int64()))
+    return out
+
+
+def quality_score(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Quality signals: word count, stopword count, stop_ratio,
+    mean word length — integer counts plus deterministic ratios."""
+    texts = batch[text_col].to_pylist()
+    n_words: List[int] = []
+    n_stop: List[int] = []
+    sum_wlen: List[int] = []
+    for t in texts:
+        ws = _WORD_RE.findall(t.lower())
+        n_words.append(len(ws))
+        n_stop.append(sum(1 for w in ws if w in EN_STOP))
+        sum_wlen.append(sum(len(w) for w in ws))
+    n_words_a = np.array(n_words, dtype=np.int64)
+    n_stop_a = np.array(n_stop, dtype=np.int64)
+    sum_wlen_a = np.array(sum_wlen, dtype=np.int64)
+    denom = np.maximum(n_words_a, 1)
+    out = batch.drop_columns([text_col])
+    out = out.append_column("n_words", pa.array(n_words_a))
+    out = out.append_column("n_stop", pa.array(n_stop_a))
+    out = out.append_column("stop_ratio", pa.array(n_stop_a / denom))
+    out = out.append_column("mean_word_len", pa.array(sum_wlen_a / denom))
+    return out
+
+
+def lang_id(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Stopword-vote language ID over {en, de, es}; ties resolve in
+    that order (deterministic)."""
+    texts = batch[text_col].to_pylist()
+    langs = []
+    sets = [(l, set(ws)) for l, ws in STOPWORDS.items()]
+    for t in texts:
+        ws = _WORD_RE.findall(t.lower())
+        votes = {l: sum(1 for w in ws if w in s) for l, s in sets}
+        langs.append(max(("en", "de", "es"), key=lambda l: (votes[l], )))
+    out = batch.drop_columns([text_col])
+    return out.append_column("lang_pred", pa.array(langs, pa.string()))
+
+
+def fingerprint(batch: pa.Table, text_col: str = "text", shingle: int = 5) -> pa.Table:
+    """Document fingerprint = lexicographic min of md5 hex digests of
+    word ``shingle``-grams (md5 so DuckDB computes the identical
+    value); docs with < shingle words fingerprint the whole word list."""
+    texts = batch[text_col].to_pylist()
+    fps = []
+    for t in texts:
+        ws = _WORD_RE.findall(t)
+        grams = (
+            [" ".join(ws[i : i + shingle]) for i in range(len(ws) - shingle + 1)]
+            if len(ws) >= shingle
+            else [" ".join(ws)]
+        )
+        fps.append(min(hashlib.md5(g.encode("utf-8")).hexdigest() for g in grams))
+    out = batch.drop_columns([text_col])
+    return out.append_column("fingerprint", pa.array(fps, pa.string()))
+
+
+def simhash64(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """64-bit SimHash over word unigrams (blake2b word hashes):
+    bit b of the signature = sign of sum over words of (+1/-1)."""
+    texts = batch[text_col].to_pylist()
+    sigs = []
+    for t in texts:
+        ws = _WORD_RE.findall(t.lower())
+        if not ws:
+            sigs.append(0)
+            continue
+        acc = np.zeros(64, dtype=np.int64)
+        for w in set(ws):
+            h = int.from_bytes(
+                hashlib.blake2b(w.encode("utf-8"), digest_size=8).digest(), "big"
+            )
+            bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+            acc += np.where(bits.astype(bool), 1, -1)
+        sig = 0
+        for b in range(64):
+            if acc[b] > 0:
+                sig |= 1 << b
+        sigs.append(sig - (1 << 63))  # store as int64
+    out = batch.drop_columns([text_col])
+    return out.append_column("simhash", pa.array(sigs, pa.int64()))

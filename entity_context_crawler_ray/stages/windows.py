@@ -1,0 +1,87 @@
+"""Stream-shaped operators over the ``events`` log: tumbling windows
+and gap sessionization.
+
+The reference has no windows/watermarks (SURVEY.md §2.9); these are
+the batch formulations a training-data pipeline needs.  The input is
+treated as an ordered, partitioned log: the window key is computed
+vectorized in ``map_batches`` (no shuffle), then one grouped
+aggregate; sessionization sorts each key's group by ts inside
+``map_groups``.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+
+def tumbling_window_agg(
+    events: ray.data.Dataset,
+    window_s: int,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> ray.data.Dataset:
+    """Per (key, window) counts + exact min/max of value.
+
+    window_id = floor(epoch_micros / (window_s * 1e6)) — an integer,
+    so results hash-match the SQL oracle exactly."""
+    from ray.data.aggregate import Count, Max, Min
+
+    us = window_s * 1_000_000
+
+    def add_window(t: pa.Table) -> pa.Table:
+        micros = pc.cast(t[ts_col], pa.int64())
+        win = pc.divide(micros, pa.scalar(us, pa.int64()))
+        return pa.table(
+            {
+                key_col: t[key_col],
+                "window_id": win,
+                value_col: t[value_col],
+            }
+        )
+
+    return (
+        events.map_batches(add_window, batch_format="pyarrow")
+        .groupby([key_col, "window_id"])
+        .aggregate(
+            Count(alias_name="n_events"),
+            Min(value_col, alias_name="min_value"),
+            Max(value_col, alias_name="max_value"),
+        )
+    )
+
+
+def sessionize(
+    events: ray.data.Dataset,
+    gap_s: int,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+) -> ray.data.Dataset:
+    """Per-key session stats with a ``gap_s`` inactivity threshold:
+    a new session starts when ts - prev_ts > gap.  Returns
+    (key, n_sessions, n_events, max_session_len)."""
+    gap_ns = gap_s * 1_000_000_000
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        # normalize to int64 nanoseconds regardless of the unit the
+        # arrow->pandas round-trip picked
+        ts = pd.to_datetime(g[ts_col]).sort_values().astype("datetime64[ns]").astype("int64")
+        d = ts.diff()
+        new_session = d.isna() | (d > gap_ns)
+        session_ids = new_session.cumsum()
+        sizes = session_ids.value_counts()
+        return pd.DataFrame(
+            {
+                key_col: [g[key_col].iloc[0]],
+                "n_sessions": [int(session_ids.max())],
+                "n_events": [len(g)],
+                "max_session_len": [int(sizes.max())],
+            }
+        )
+
+    return events.select_columns([key_col, ts_col]).groupby(key_col).map_groups(
+        per_key, batch_format="pandas"
+    )

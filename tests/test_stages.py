@@ -1,0 +1,203 @@
+"""Unit tests for the operator stages (textstats, dedup, similarity,
+relational, windows, media) on small controlled inputs."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data
+
+from entity_context_crawler_ray.stages import (
+    dedup,
+    media,
+    relational,
+    similarity,
+    textstats,
+    windows,
+)
+
+
+def _docs_ds():
+    rows = [
+        {"doc_id": 1, "text": "the quick brown fox jumps over the lazy dog"},
+        {"doc_id": 2, "text": "the quick brown fox jumps over the lazy cat"},
+        {"doc_id": 3, "text": "completely different words entirely here now"},
+        {"doc_id": 4, "text": "the quick brown fox jumps over the lazy dog"},
+    ]
+    return ray.data.from_items(rows)
+
+
+def test_textstats_counts():
+    t = pa.table({"doc_id": [1], "text": ["Hello, world! The end."]})
+    out = textstats.doc_stats(t)
+    assert out["n_tokens"][0].as_py() == 7  # Hello , world ! The end .
+    out2 = textstats.quality_score(t)
+    assert out2["n_words"][0].as_py() == 4
+    assert out2["n_stop"][0].as_py() == 1  # 'the'
+    out3 = textstats.lang_id(
+        pa.table({"doc_id": [1, 2], "text": ["the cat and the dog", "der hund und die katze"]})
+    )
+    assert out3["lang_pred"].to_pylist() == ["en", "de"]
+
+
+def test_fingerprint_and_simhash_deterministic():
+    t = pa.table({"doc_id": [1, 2], "text": ["a b c d e f g", "a b c d e f g"]})
+    fp = textstats.fingerprint(t)
+    assert fp["fingerprint"][0].as_py() == fp["fingerprint"][1].as_py()
+    sh = textstats.simhash64(t)
+    assert sh["simhash"][0].as_py() == sh["simhash"][1].as_py()
+
+
+def test_exact_dedup():
+    out = dedup.exact_dedup_stats(_docs_ds()).to_pandas()
+    # docs 1 and 4 are identical
+    dup_row = out[out["n_dups"] == 2]
+    assert len(dup_row) == 1 and dup_row["min_doc_id"].iloc[0] == 1
+    first = dedup.exact_dedup_first(_docs_ds()).to_pandas()
+    assert sorted(first["doc_id"]) == [1, 2, 3]
+
+
+def test_minhash_finds_near_dups():
+    pairs = dedup.minhash_candidates(_docs_ds(), num_perm=32, bands=16).to_pandas()
+    cand = set(map(tuple, pairs[["a", "b"]].to_numpy()))
+    assert (1, 4) in cand  # exact dup always a candidate
+    verified = dedup.verify_jaccard_pairs(
+        ray.data.from_pandas(pairs), _docs_ds(), threshold=0.5
+    ).to_pandas()
+    vset = set(map(tuple, verified[["a", "b"]].to_numpy()))
+    assert (1, 4) in vset
+    assert (1, 2) in vset or (1, 2) not in cand  # if candidate, it verifies (j≈0.6)
+    # doc 3 shares nothing
+    assert not any(3 in p for p in vset)
+
+
+def test_ngram_jaccard_vs():
+    out = dedup.ngram_jaccard_vs(
+        _docs_ds(), "the quick brown fox jumps over the lazy dog"
+    ).to_pandas().set_index("doc_id")["jaccard"]
+    assert out[1] == 1.0 and out[4] == 1.0
+    assert 0 < out[2] < 1.0 and out[3] == 0.0
+
+
+def _emb_ds(n=100, dim=8):
+    rng = np.random.RandomState(7)
+    mat = rng.randn(n, dim)
+    return (
+        ray.data.from_arrow(
+            pa.table(
+                {
+                    "vec_id": pa.array(range(n), pa.int64()),
+                    "embedding": pa.array(
+                        [list(map(float, r)) for r in mat],
+                        pa.list_(pa.float32()),
+                    ),
+                }
+            )
+        ),
+        mat,
+    )
+
+
+def test_knn_bruteforce_exact():
+    ds, mat = _emb_ds()
+    q = mat[0]
+    out = similarity.knn_bruteforce(ds, q, k=5).to_pandas()
+    # numpy ground truth (float32 storage round-trip like the dataset)
+    m32 = mat.astype(np.float32).astype(np.float64)
+    m32 /= np.linalg.norm(m32, axis=1, keepdims=True)
+    qn = q / np.linalg.norm(q)
+    sims = m32 @ qn
+    expect = np.argsort(-sims)[:5]
+    assert list(out["vec_id"]) == list(expect)
+    assert out["vec_id"].iloc[0] == 0
+
+
+def test_knn_ivf_probes_subset():
+    ds, mat = _emb_ds()
+    out = similarity.knn_ivf(ds, mat[0], k=5, n_bits=3).to_pandas()
+    assert out["vec_id"].iloc[0] == 0  # query's own bucket always probed
+    assert len(out) <= 5
+
+
+def test_embedding_neardup():
+    # construct two nearly identical vectors
+    t = pa.table(
+        {
+            "vec_id": pa.array([10, 20, 30], pa.int64()),
+            "embedding": pa.array(
+                [[1.0, 0.0, 0.0], [0.999, 0.01, 0.0], [0.0, 1.0, 0.0]],
+                pa.list_(pa.float32()),
+            ),
+        }
+    )
+    pairs = dedup.embedding_neardup_pairs(
+        ray.data.from_arrow(t), threshold=0.95
+    ).to_pandas()
+    assert set(map(tuple, pairs[["vec_id_a", "vec_id_b"]].to_numpy())) == {(10, 20)}
+
+
+def test_hash_join_bucketed_matches_pandas():
+    left = pd.DataFrame({"k": [1, 2, 2, 3, 5], "lv": ["a", "b", "c", "d", "e"]})
+    right = pd.DataFrame({"k": [2, 3, 3, 4], "rv": [10.0, 20.0, 30.0, 40.0]})
+    out = (
+        relational.hash_join_bucketed(
+            ray.data.from_pandas(left), ray.data.from_pandas(right), on="k", num_buckets=4
+        )
+        .to_pandas()
+        .sort_values(["k", "lv", "rv"])
+        .reset_index(drop=True)
+    )
+    expect = (
+        left.merge(right, on="k").sort_values(["k", "lv", "rv"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out[expect.columns], expect)
+
+
+def test_broadcast_joins():
+    ds = ray.data.from_pandas(pd.DataFrame({"k": [1, 2, 3], "v": [1.0, 2.0, 3.0]}))
+    small = pa.table({"k": [2, 3], "name": ["x", "y"]})
+    out = relational.broadcast_inner_join(ds, small, on="k").to_pandas()
+    assert sorted(out["name"]) == ["x", "y"]
+    semi = relational.broadcast_semi_join(ds, {1, 3}, on="k").to_pandas()
+    assert sorted(semi["k"]) == [1, 3]
+
+
+def test_windows_and_sessions():
+    base = pd.Timestamp("2024-01-01")
+    df = pd.DataFrame(
+        {
+            "user_id": [1, 1, 1, 2, 2],
+            "event_type": ["a", "a", "b", "a", "a"],
+            "ts": [
+                base,
+                base + pd.Timedelta(minutes=10),
+                base + pd.Timedelta(hours=2),
+                base,
+                base + pd.Timedelta(hours=3),
+            ],
+            "value": [1.0, 5.0, 2.0, 7.0, 3.0],
+        }
+    )
+    ds = ray.data.from_pandas(df)
+    w = windows.tumbling_window_agg(ds, 3600).to_pandas()
+    a_win = w[w["event_type"] == "a"]
+    assert a_win["n_events"].sum() == 4
+    s = windows.sessionize(ds, gap_s=1800).to_pandas().set_index("user_id")
+    assert s.loc[1, "n_sessions"] == 2  # 10-min gap same session, 2h gap new
+    assert s.loc[2, "n_sessions"] == 2
+
+
+def test_media_decode_stub():
+    from entity_context_crawler_ray.sources.docs import read_docs
+
+    docs = read_docs("/root/testdata/sf0.001").limit(50)
+    meta = media.extract_media_spans(docs).to_pandas()
+    assert len(meta) > 0
+    assert set(meta.columns) == {"doc_id", "media_ref", "caption", "span_offset"}
+    decoded = media.decode_media(docs.limit(20), fake=True).to_pandas()
+    if len(decoded):
+        assert (decoded["n_bytes"] > 0).all()
+        assert (decoded["width"] >= 16).all()
+    # the non-fake path must fail loudly at the kernel
+    with pytest.raises(NotImplementedError):
+        media.MediaDecoder(fake=False)._decode_one("media://x")
