@@ -1,0 +1,829 @@
+"""The ``queries()`` / ``oracle_sql()`` registry backing
+/root/repo/__ray_entry__.py.
+
+Every entry is one operator/pipeline from SURVEY.md §2 (or one of the
+training-data extensions), implemented Ray-Data-first over the driver
+tables in ``sf_dir``.  Oracle-checked entries carry ANSI SQL that
+DuckDB runs on the same parquet; the SQL mirrors the exact arithmetic
+(integer cents for money sums, IEEE-identical per-row products,
+RE2-shared regexes) so value hashes match bit-for-bit.  ECC-pipeline
+and sketch entries without SQL equivalents are rows-only checked by
+the driver and golden-tested in tests/.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable, Dict
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray
+import ray.data
+
+from ..functions.hashing import stable_hash64
+from ..functions.text import TOKEN_PATTERN, clean_up_text, sql_window
+from ..stages import dedup, media, relational, similarity, textstats, windows
+from ..sources import docs as docsrc
+
+# ---------------------------------------------------------------------------
+# helpers
+
+
+def _read(sf_dir: str, table: str, columns=None) -> ray.data.Dataset:
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _cents(col: pa.ChunkedArray) -> pa.ChunkedArray:
+    """round(x*100) as int64 — exact integer money (2-decimal inputs)."""
+    return pc.cast(pc.round(pc.multiply(col, pa.scalar(100.0))), pa.int64())
+
+
+# ---------------------------------------------------------------------------
+# relational / aggregate queries (oracle-checked)
+
+
+def q_pricing_summary(sf_dir: str):
+    """TPC-H-Q1-shaped grouped aggregate (A-class ops, SURVEY §2.5).
+    Money sums in integer cents so the double-summation order cannot
+    perturb the value hash."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        mask = pc.less_equal(t["l_shipdate"], pa.scalar(pd.Timestamp("1998-09-02")))
+        t = t.filter(mask)
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "l_quantity": t["l_quantity"],
+                "price_cents": _cents(t["l_extendedprice"]),
+                "disc_pct": pc.cast(
+                    pc.round(pc.multiply(t["l_discount"], pa.scalar(100.0))), pa.int64()
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("l_quantity", alias_name="sum_qty"),
+            Sum("price_cents", alias_name="sum_base_price_cents"),
+            Sum("disc_pct", alias_name="sum_disc_pct"),
+            Count(alias_name="count_order"),
+        )
+    )
+
+
+SQL_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(l_quantity) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_base_price_cents,
+       CAST(sum(CAST(round(l_discount*100) AS BIGINT)) AS BIGINT) AS sum_disc_pct,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_filter_project(sf_dir: str):
+    """Vectorized filter + computed column (M-class).  revenue is the
+    raw IEEE product — identical doubles on both engines."""
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_extendedprice", "l_discount", "l_shipdate"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        mask = pc.and_(
+            pc.less(t["l_shipdate"], pa.scalar(pd.Timestamp("1996-01-01"))),
+            pc.greater(t["l_discount"], pa.scalar(0.05)),
+        )
+        t = t.filter(mask)
+        revenue = pc.multiply(
+            t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
+        )
+        return pa.table(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "l_linenumber": pc.cast(t["l_linenumber"], pa.int64()),
+                "revenue": revenue,
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+SQL_FILTER_PROJECT = """
+SELECT l_orderkey,
+       CAST(l_linenumber AS BIGINT) AS l_linenumber,
+       l_extendedprice * (1.0 - l_discount) AS revenue
+FROM lineitem
+WHERE l_shipdate < TIMESTAMP '1996-01-01' AND l_discount > 0.05
+"""
+
+
+def q_brand_volume(sf_dir: str):
+    """Broadcast inner join (J1-class) + grouped aggregate."""
+    from ray.data.aggregate import Count, Sum
+
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_quantity"])
+    part = pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"])
+    joined = relational.broadcast_inner_join(li, part, on="l_partkey", right_on="p_partkey")
+    return joined.groupby("p_brand").aggregate(
+        Sum("l_quantity", alias_name="sum_qty"), Count(alias_name="n_items")
+    )
+
+
+SQL_BRAND_VOLUME = """
+SELECT p_brand,
+       CAST(sum(l_quantity) AS DOUBLE) AS sum_qty,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+"""
+
+
+def q_revenue_by_nation(sf_dir: str):
+    """The shuffle join (J2-class): orders ⋈ customer via the explicit
+    bucketed hash join, then broadcast nation, then aggregate."""
+    from ray.data.aggregate import Count, Sum
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"o_custkey": t["o_custkey"], "price_cents": _cents(t["o_totalprice"])}
+        )
+
+    orders = orders.map_batches(to_cents, batch_format="pyarrow")
+    customer = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    joined = relational.hash_join_bucketed(
+        orders, customer, on="o_custkey", right_on="c_custkey", num_buckets=16
+    )
+    nation = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
+    with_nation = relational.broadcast_inner_join(
+        joined, nation, on="c_nationkey", right_on="n_nationkey"
+    )
+    out = with_nation.groupby("n_name").aggregate(
+        Sum("price_cents", alias_name="sum_totalprice_cents"),
+        Count(alias_name="n_orders"),
+    )
+
+    def cast_cols(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "n_name": t["n_name"],
+                "sum_totalprice_cents": pc.cast(t["sum_totalprice_cents"], pa.int64()),
+                "n_orders": pc.cast(t["n_orders"], pa.int64()),
+            }
+        )
+
+    return out.map_batches(cast_cols, batch_format="pyarrow")
+
+
+SQL_REVENUE_BY_NATION = """
+SELECT n_name,
+       CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS sum_totalprice_cents,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+def q_segment_filter(sf_dir: str):
+    """Broadcast semi-join (J3-class): customers with a big order."""
+    from ray.data.aggregate import Count
+
+    big = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
+        lambda t: t.filter(pc.greater(t["o_totalprice"], pa.scalar(400000.0))).select(
+            ["o_custkey"]
+        ),
+        batch_format="pyarrow",
+    )
+    keys = set(big.unique("o_custkey"))
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    kept = relational.broadcast_semi_join(cust, keys, on="c_custkey")
+    return kept.groupby("c_mktsegment").aggregate(Count(alias_name="n_customers"))
+
+
+SQL_SEGMENT_FILTER = """
+SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_customers
+FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+GROUP BY c_mktsegment
+"""
+
+
+def q_distinct_pairs(sf_dir: str):
+    """Exact distinct on two columns (A2/D-class)."""
+    cust = _read(sf_dir, "customer", ["c_nationkey", "c_mktsegment"])
+    return relational.dedup_first(
+        cust, keys=["c_nationkey", "c_mktsegment"], order_by=["c_nationkey"]
+    )
+
+
+SQL_DISTINCT_PAIRS = """
+SELECT DISTINCT c_nationkey, c_mktsegment FROM customer
+"""
+
+
+def q_first_event_per_user(sf_dir: str):
+    """Dedup-first (D2-class): earliest event per user."""
+    ev = _read(sf_dir, "events", ["user_id", "event_id", "ts", "event_type"])
+    first = relational.dedup_first(
+        ev, keys=["user_id"], order_by=["ts", "event_id"]
+    )
+
+    def cast_ts(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "event_id": t["event_id"],
+                "ts_us": pc.cast(t["ts"], pa.int64()),
+                "event_type": t["event_type"],
+            }
+        )
+
+    return first.map_batches(cast_ts, batch_format="pyarrow")
+
+
+SQL_FIRST_EVENT_PER_USER = """
+SELECT user_id, event_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us, event_type
+FROM events
+QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) = 1
+"""
+
+
+def q_top_orders(sf_dir: str):
+    """Global top-k via distributed sort + limit (O-class)."""
+    return relational.top_k(
+        _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"]),
+        by=["o_totalprice", "o_orderkey"],
+        k=10,
+        descending=[True, False],
+    )
+
+
+SQL_TOP_ORDERS = """
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+"""
+
+
+def q_unique_event_types(sf_dir: str):
+    """Distinct values of one column (A3-class, reference
+    dao/contexts_db.py:39-50)."""
+    ev = _read(sf_dir, "events", ["event_type"])
+    return relational.dedup_first(ev, keys=["event_type"], order_by=["event_type"])
+
+
+SQL_UNIQUE_EVENT_TYPES = "SELECT DISTINCT event_type FROM events"
+
+
+# ---------------------------------------------------------------------------
+# text queries over documents (oracle-checked)
+
+
+def q_doc_window(sf_dir: str):
+    """±size context window with SQLite SUBSTR clamping (M18,
+    reference dao/matches_db.py:176-200) at fixed offsets."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        wins = pa.array(
+            [sql_window(x, 80, 90, 30) for x in t["text"].to_pylist()], pa.string()
+        )
+        return pa.table({"doc_id": t["doc_id"], "window": wins})
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+SQL_DOC_WINDOW = """
+SELECT doc_id,
+       substr(text,
+              greatest(80 + 1 - 30, 1),
+              least((80 + 1 - greatest(80 + 1 - 30, 1)) + (90 - 80) + 30,
+                    length(text))) AS window
+FROM documents
+"""
+
+
+def q_doc_clean(sf_dir: str):
+    """The cleaner (M10, reference cmd/build_matches_db.py:323-359) on
+    deterministically sentencified text (capitalize + '. The '
+    boundaries) — the same two string ops on both engines."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        outs = []
+        for x in t["text"].to_pylist():
+            prepped = (x[:1].upper() + x[1:]).replace(" the ", ". The ")
+            outs.append(clean_up_text(prepped))
+        return pa.table({"doc_id": t["doc_id"], "clean_text": pa.array(outs, pa.string())})
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+SQL_DOC_CLEAN = r"""
+WITH prep AS (
+  SELECT doc_id,
+         replace(upper(substr(text,1,1)) || substr(text,2), ' the ', '. The ') AS t
+  FROM documents
+)
+SELECT doc_id,
+  coalesce(array_to_string(
+    list_filter(
+      list_transform(
+        string_split(t, chr(10)),
+        p -> CASE WHEN length(p) < 40 THEN '' ELSE
+          array_to_string(
+            list_filter(
+              string_split(regexp_replace(p, '([.!?])\s+', '\1' || chr(30), 'g'), chr(30)),
+              s -> length(s) >= 40
+                   AND substr(s,1,1) >= 'A' AND substr(s,1,1) <= 'Z'
+                   AND NOT contains(s, '|') AND NOT contains(s, '=')
+                   AND NOT contains(s, 'http') AND NOT contains(s, 'Category:'))
+            , ' ') END),
+      p -> length(p) > 0),
+    chr(10) || chr(10)), '') AS clean_text
+FROM prep
+"""
+
+
+def q_doc_stats(sf_dir: str):
+    """Per-doc token/word/punct/char counts (M13-class stats)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(textstats.doc_stats, batch_format="pyarrow")
+
+
+SQL_DOC_STATS = rf"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{TOKEN_PATTERN}')) AS BIGINT) AS n_tokens,
+       CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS BIGINT) AS n_words,
+       CAST(len(regexp_extract_all(text, '[^A-Za-z0-9_\s]')) AS BIGINT) AS n_punct,
+       CAST(length(text) AS BIGINT) AS text_chars
+FROM documents
+"""
+
+
+def q_quality(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(textstats.quality_score, batch_format="pyarrow")
+
+
+SQL_QUALITY = """
+WITH w AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS ws FROM documents
+)
+SELECT doc_id,
+       CAST(len(ws) AS BIGINT) AS n_words,
+       CAST(len(list_filter(ws, x -> x IN ('the','a','of','and','to','in','is'))) AS BIGINT) AS n_stop,
+       CAST(len(list_filter(ws, x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
+         / greatest(len(ws), 1) AS stop_ratio,
+       CAST(list_aggregate(list_transform(ws, x -> length(x)), 'sum') AS DOUBLE)
+         / greatest(len(ws), 1) AS mean_word_len
+FROM w
+"""
+
+
+def q_lang_id(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(textstats.lang_id, batch_format="pyarrow")
+
+
+SQL_LANG_ID = """
+WITH w AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS ws FROM documents
+), v AS (
+  SELECT doc_id,
+         len(list_filter(ws, x -> x IN ('the','a','of','and','to','in','is'))) AS v_en,
+         len(list_filter(ws, x -> x IN ('der','die','das','und','ein','zu','ist'))) AS v_de,
+         len(list_filter(ws, x -> x IN ('el','la','de','y','un','es','en'))) AS v_es
+  FROM w
+)
+SELECT doc_id,
+       CASE WHEN v_en >= v_de AND v_en >= v_es THEN 'en'
+            WHEN v_de >= v_es THEN 'de'
+            ELSE 'es' END AS lang_pred
+FROM v
+"""
+
+
+def q_exact_dedup(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = dedup.exact_dedup_stats(ds)
+
+    def cast_cols(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "min_doc_id": pc.cast(t["min_doc_id"], pa.int64()),
+                "n_dups": pc.cast(t["n_dups"], pa.int64()),
+                "n_chars": pc.cast(t["n_chars"], pa.int64()),
+            }
+        )
+
+    return out.map_batches(cast_cols, batch_format="pyarrow")
+
+
+SQL_EXACT_DEDUP = """
+SELECT CAST(min(doc_id) AS BIGINT) AS min_doc_id,
+       CAST(count(*) AS BIGINT) AS n_dups,
+       CAST(min(length(text)) AS BIGINT) AS n_chars
+FROM documents GROUP BY text
+"""
+
+
+def q_fingerprint(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(textstats.fingerprint, batch_format="pyarrow")
+
+
+SQL_FINGERPRINT = """
+WITH w AS (
+  SELECT doc_id, regexp_extract_all(text, '[A-Za-z0-9_]+') AS ws FROM documents
+)
+SELECT doc_id,
+       list_aggregate(
+         list_transform(
+           CASE WHEN len(ws) >= 5
+                THEN list_transform(range(1, len(ws) - 3),
+                                    i -> array_to_string(ws[i:i+4], ' '))
+                ELSE [array_to_string(ws, ' ')] END,
+           g -> md5(g)),
+         'min') AS fingerprint
+FROM w
+"""
+
+
+def q_jaccard_vs_doc0(sf_dir: str):
+    """n-gram Jaccard of every doc vs doc 0 (near-dup scoring)."""
+    ref_text = (
+        pq.read_table(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+        .filter(pc.equal(pc.field("doc_id"), 0))["text"][0]
+        .as_py()
+    )
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return dedup.ngram_jaccard_vs(ds, ref_text, n=3)
+
+
+SQL_JACCARD_VS_DOC0 = """
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct(
+           list_transform(range(1, len(ws) - 1),
+                          i -> array_to_string(ws[i:i+2], ' '))) AS s
+  FROM (SELECT doc_id, regexp_extract_all(text, '[A-Za-z0-9_]+') AS ws FROM documents)
+), ref AS (SELECT s FROM sh WHERE doc_id = 0)
+SELECT sh.doc_id,
+       CAST(len(list_intersect(sh.s, ref.s)) AS DOUBLE)
+         / len(list_distinct(list_concat(sh.s, ref.s))) AS jaccard
+FROM sh, ref
+"""
+
+
+# ---------------------------------------------------------------------------
+# embeddings (oracle-checked)
+
+
+def _query_vec(sf_dir: str):
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return tbl.filter(pc.equal(pc.field("vec_id"), 0))["embedding"][0].as_py()
+
+
+def q_knn_cosine(sf_dir: str):
+    """Exact brute-force cosine top-20 vs the vec_id=0 embedding."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = similarity.knn_bruteforce(ds, _query_vec(sf_dir), k=20)
+
+    def round_sim(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "vec_id": t["vec_id"],
+                "cosine_r": pc.round(t["cosine"], 4),
+            }
+        )
+
+    return out.map_batches(round_sim, batch_format="pyarrow")
+
+
+SQL_KNN_COSINE = """
+WITH q AS (SELECT embedding AS e FROM embeddings WHERE vec_id = 0)
+SELECT vec_id,
+       round(CAST(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                         CAST((SELECT e FROM q) AS DOUBLE[])) AS DOUBLE), 4) AS cosine_r
+FROM embeddings
+ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                CAST((SELECT e FROM q) AS DOUBLE[])) DESC, vec_id
+LIMIT 20
+"""
+
+
+def q_embedding_neardup(sf_dir: str):
+    """All embedding pairs with cosine ≥ 0.4 (integer ids only — the
+    membership is the check; threshold chosen to yield rows on the
+    synthetic embeddings)."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    pairs = dedup.embedding_neardup_pairs(ds, threshold=0.40)
+    return pairs.select_columns(["vec_id_a", "vec_id_b"])
+
+
+SQL_EMBEDDING_NEARDUP = """
+SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])) >= 0.40
+"""
+
+
+# ---------------------------------------------------------------------------
+# stream-shaped queries over events (oracle-checked)
+
+
+def q_events_hourly(sf_dir: str):
+    out = windows.tumbling_window_agg(
+        _read(sf_dir, "events", ["event_type", "ts", "value"]), window_s=3600
+    )
+
+    def cast_cols(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "window_id": pc.cast(t["window_id"], pa.int64()),
+                "n_events": pc.cast(t["n_events"], pa.int64()),
+                "min_value": t["min_value"],
+                "max_value": t["max_value"],
+            }
+        )
+
+    return out.map_batches(cast_cols, batch_format="pyarrow")
+
+
+SQL_EVENTS_HOURLY = """
+SELECT event_type,
+       CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS window_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       min(value) AS min_value,
+       max(value) AS max_value
+FROM events
+GROUP BY event_type, window_id
+"""
+
+
+def q_sessions(sf_dir: str):
+    out = windows.sessionize(
+        _read(sf_dir, "events", ["user_id", "ts"]), gap_s=1800
+    )
+
+    def cast_cols(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "n_sessions": pc.cast(t["n_sessions"], pa.int64()),
+                "n_events": pc.cast(t["n_events"], pa.int64()),
+                "max_session_len": pc.cast(t["max_session_len"], pa.int64()),
+            }
+        )
+
+    return out.map_batches(cast_cols, batch_format="pyarrow")
+
+
+SQL_SESSIONS = """
+WITH d AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                   OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                      > INTERVAL 1800 SECOND
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+), s AS (
+  SELECT user_id,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sid
+  FROM d
+), c AS (
+  SELECT user_id, sid, count(*) AS n FROM s GROUP BY user_id, sid
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(sum(n) AS BIGINT) AS n_events,
+       CAST(max(n) AS BIGINT) AS max_session_len
+FROM c GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# ECC pipelines over the derived docs table (rows-only checks; golden
+# parity lives in tests/)
+
+from .build_contexts import build_contexts, context_stats
+from .build_matches import (
+    build_matches,
+    matches_view,
+    mentions_view,
+    pages_view,
+)
+
+
+def _combined(sf_dir: str):
+    docs_ds = docsrc.read_docs(sf_dir)
+    ents = docsrc.entity_catalog(sf_dir)
+    return build_matches(docs_ds, ents).materialize(), ents
+
+
+def ecc_pages(sf_dir: str):
+    combined, _ = _combined(sf_dir)
+    return pages_view(combined)
+
+
+def ecc_matches(sf_dir: str):
+    combined, _ = _combined(sf_dir)
+    return matches_view(combined)
+
+
+def ecc_mentions(sf_dir: str):
+    combined, _ = _combined(sf_dir)
+    return mentions_view(combined)
+
+
+def _mentions_dict(combined) -> Dict[str, list]:
+    out: Dict[str, list] = {}
+    for r in mentions_view(combined).iter_rows():
+        out.setdefault(r["entity_id"], []).append(r["mention"])
+    return out
+
+
+def ecc_contexts(sf_dir: str):
+    combined, ents = _combined(sf_dir)
+    return build_contexts(
+        combined,
+        ents,
+        docsrc.id_map_table(sf_dir),
+        _mentions_dict(combined),
+        context_size=100,
+        limit_contexts=10,
+    )
+
+
+def ecc_contexts_sentences(sf_dir: str):
+    combined, ents = _combined(sf_dir)
+    return build_contexts(
+        combined,
+        ents,
+        docsrc.id_map_table(sf_dir),
+        _mentions_dict(combined),
+        context_size=150,
+        crop_sentences=True,
+        limit_contexts=10,
+    )
+
+
+def ecc_context_stats(sf_dir: str):
+    return context_stats(ecc_contexts(sf_dir))
+
+
+def ecc_crawl_log(sf_dir: str):
+    """Frontier crawl over the doc store; returns the deterministic
+    fetch log (round, rank, url, priority, depth)."""
+    import glob
+
+    from .crawl import CrawlConfig, crawl
+
+    tag = stable_hash64("qtag", sf_dir) % (1 << 32)
+    base = f"/tmp/ecc_q_crawl_{tag}"
+    store = f"{base}/docstore"
+    if not os.path.isdir(store):
+        docsrc_ds = docsrc.read_docs(sf_dir)
+        from ..sources.doc_store import write_doc_store
+
+        write_doc_store(docsrc_ds, store, num_partitions=16)
+    import shutil
+
+    out = f"{base}/out"
+    shutil.rmtree(out, ignore_errors=True)
+    ents = docsrc.entity_catalog(sf_dir)
+    ref = ray.put(docsrc.entities_index(ents))
+    cfg = CrawlConfig(
+        max_depth=1,
+        round_budget=1000,
+        capacity=100,
+        refill=50,
+        num_bloom_shards=4,
+        num_politeness_shards=2,
+        doc_store_partitions=16,
+        max_rounds=30,
+    )
+    crawl(store, docsrc.seed_table(sf_dir), ref, out, cfg)
+    files = sorted(glob.glob(f"{out}/fetch_log/*.parquet"))
+    tbl = pa.concat_tables([pq.read_table(f) for f in files])
+    return tbl.select(["round", "rank", "url", "priority", "depth"])
+
+
+# ---------------------------------------------------------------------------
+# sketch / multimodal / ANN extras (rows-only checks; unit-tested)
+
+
+def q_minhash_neardup(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    pairs = dedup.minhash_candidates(ds, num_perm=64, bands=16)
+    return dedup.verify_jaccard_pairs(pairs, ds, threshold=0.5)
+
+
+def q_simhash(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(textstats.simhash64, batch_format="pyarrow")
+
+
+def q_knn_ivf(sf_dir: str):
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return similarity.knn_ivf(ds, _query_vec(sf_dir), k=20, n_bits=4)
+
+
+def q_media_decode(sf_dir: str):
+    docs_ds = docsrc.read_docs(sf_dir)
+    decoded = media.decode_media(docs_ds, fake=True)
+    return decoded.drop_columns(["payload"])
+
+
+# ---------------------------------------------------------------------------
+# registry
+
+
+def queries() -> Dict[str, Callable]:
+    return {
+        # relational / aggregates (oracle-checked)
+        "q_pricing_summary": q_pricing_summary,
+        "q_filter_project": q_filter_project,
+        "q_brand_volume": q_brand_volume,
+        "q_revenue_by_nation": q_revenue_by_nation,
+        "q_segment_filter": q_segment_filter,
+        "q_distinct_pairs": q_distinct_pairs,
+        "q_first_event_per_user": q_first_event_per_user,
+        "q_top_orders": q_top_orders,
+        "q_unique_event_types": q_unique_event_types,
+        # text ops (oracle-checked)
+        "q_doc_window": q_doc_window,
+        "q_doc_clean": q_doc_clean,
+        "q_doc_stats": q_doc_stats,
+        "q_quality": q_quality,
+        "q_lang_id": q_lang_id,
+        "q_exact_dedup": q_exact_dedup,
+        "q_fingerprint": q_fingerprint,
+        "q_jaccard_vs_doc0": q_jaccard_vs_doc0,
+        # embeddings (oracle-checked)
+        "q_knn_cosine": q_knn_cosine,
+        "q_embedding_neardup": q_embedding_neardup,
+        # stream-shaped (oracle-checked)
+        "q_events_hourly": q_events_hourly,
+        "q_sessions": q_sessions,
+        # ECC pipelines (rows-only; golden parity in tests/)
+        "ecc_pages": ecc_pages,
+        "ecc_matches": ecc_matches,
+        "ecc_mentions": ecc_mentions,
+        "ecc_contexts": ecc_contexts,
+        "ecc_contexts_sentences": ecc_contexts_sentences,
+        "ecc_context_stats": ecc_context_stats,
+        "ecc_crawl_log": ecc_crawl_log,
+        # sketches / ANN / multimodal (rows-only; unit-tested)
+        "q_minhash_neardup": q_minhash_neardup,
+        "q_simhash": q_simhash,
+        "q_knn_ivf": q_knn_ivf,
+        "q_media_decode": q_media_decode,
+    }
+
+
+def oracle_sql() -> Dict[str, str]:
+    return {
+        "q_pricing_summary": SQL_PRICING_SUMMARY,
+        "q_filter_project": SQL_FILTER_PROJECT,
+        "q_brand_volume": SQL_BRAND_VOLUME,
+        "q_revenue_by_nation": SQL_REVENUE_BY_NATION,
+        "q_segment_filter": SQL_SEGMENT_FILTER,
+        "q_distinct_pairs": SQL_DISTINCT_PAIRS,
+        "q_first_event_per_user": SQL_FIRST_EVENT_PER_USER,
+        "q_top_orders": SQL_TOP_ORDERS,
+        "q_unique_event_types": SQL_UNIQUE_EVENT_TYPES,
+        "q_doc_window": SQL_DOC_WINDOW,
+        "q_doc_clean": SQL_DOC_CLEAN,
+        "q_doc_stats": SQL_DOC_STATS,
+        "q_quality": SQL_QUALITY,
+        "q_lang_id": SQL_LANG_ID,
+        "q_exact_dedup": SQL_EXACT_DEDUP,
+        "q_fingerprint": SQL_FINGERPRINT,
+        "q_jaccard_vs_doc0": SQL_JACCARD_VS_DOC0,
+        "q_knn_cosine": SQL_KNN_COSINE,
+        "q_embedding_neardup": SQL_EMBEDDING_NEARDUP,
+        "q_events_hourly": SQL_EVENTS_HOURLY,
+        "q_sessions": SQL_SESSIONS,
+    }
