@@ -1,0 +1,191 @@
+"""Benchmark harness (driver-run per round; see BASELINE.md).
+
+Headline: the flagship crawl — frontier-driven fetch+extract over the
+interleaved docs store derived from $GRAFT_SF_DIR (default sf0.1,
+replicated GRAFT_DOCS_REPLICAS× for sustained work) to frontier
+exhaustion, followed by the contexts build on the crawled pages.
+Metric value = headline wall seconds; ``urls_per_sec`` is the
+BASELINE.json sustained-throughput metric.
+
+Prints ONE JSON line.  ``--scaling`` reruns the identical job in
+fresh processes at num_cpus=8 and 32 and reports both throughputs +
+scaling efficiency (the sandbox evidence protocol for the two-cluster
+criterion, BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+REPLICAS = int(os.environ.get("GRAFT_DOCS_REPLICAS", "8"))
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+
+    import pyarrow.compute as pc
+    import ray.data
+
+    from entity_context_crawler_ray.functions.hashing import stable_hash64
+    from entity_context_crawler_ray.pipelines.build_contexts import build_contexts
+    from entity_context_crawler_ray.pipelines.build_matches import mentions_view
+    from entity_context_crawler_ray.pipelines.crawl import CrawlConfig, crawl
+    from entity_context_crawler_ray.pipelines import queries as Q
+    from entity_context_crawler_ray.sources import docs as docsrc
+    from entity_context_crawler_ray.sources.doc_store import write_doc_store
+
+    timings: dict = {}
+
+    # --- setup (untimed): doc store derivation, cached across runs ------
+    tag = stable_hash64("bench", SF_DIR, REPLICAS) % (1 << 32)
+    base = f"/tmp/ecc_bench_{tag}"
+    store = f"{base}/docstore"
+    store_parts = 64
+    if not os.path.isdir(store):
+        write_doc_store(
+            docsrc.read_docs(SF_DIR, replicas=REPLICAS), store, num_partitions=store_parts
+        )
+    # warm the OS page cache so we measure compute + shuffle, not disk
+    ray.data.read_parquet(store).count()
+
+    ents = docsrc.entity_catalog(SF_DIR, replicas=REPLICAS)
+    ref = ray.put(docsrc.entities_index(ents))
+    out = f"{base}/out_{NUM_CPUS}"
+    shutil.rmtree(out, ignore_errors=True)
+
+    # --- headline: crawl to frontier exhaustion -------------------------
+    cfg = CrawlConfig(
+        max_depth=1,
+        round_budget=1 << 30,
+        capacity=1 << 30,
+        refill=1 << 30,
+        num_bloom_shards=8,
+        num_politeness_shards=4,
+        doc_store_partitions=store_parts,
+        fetch_batch_size=128,
+        max_rounds=10,
+    )
+    t0 = time.time()
+    metrics = crawl(store, docsrc.seed_table(SF_DIR, replicas=REPLICAS), ref, out, cfg)
+    timings["crawl"] = round(time.time() - t0, 3)
+
+    # --- contexts build on the crawled pages ----------------------------
+    t0 = time.time()
+    round_files = sorted(glob.glob(f"{out}/round=*/*.parquet"))
+    crawled = ray.data.read_parquet(round_files).map_batches(
+        lambda t: t.filter(pc.equal(t["error"], "")),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).materialize()
+    mbe: dict = {}
+    for r in mentions_view(crawled).iter_rows():
+        mbe.setdefault(r["entity_id"], []).append(r["mention"])
+    contexts = build_contexts(
+        crawled,
+        ents,
+        docsrc.id_map_table(SF_DIR),
+        mbe,
+        context_size=100,
+        limit_contexts=10,
+    )
+    ctx_dir = f"{base}/contexts_{NUM_CPUS}"
+    shutil.rmtree(ctx_dir, ignore_errors=True)
+    contexts.write_parquet(ctx_dir)
+    timings["contexts"] = round(time.time() - t0, 3)
+
+    # --- representative operator queries at SF_DIR ----------------------
+    for name in (
+        "q_pricing_summary",
+        "q_revenue_by_nation",
+        "q_minhash_neardup",
+        "q_knn_cosine",
+        "q_sessions",
+    ):
+        fn = Q.queries()[name]
+        t0 = time.time()
+        res = fn(SF_DIR)
+        if hasattr(res, "to_pandas"):
+            res.to_pandas()
+        timings[name] = round(time.time() - t0, 3)
+
+    headline = timings["crawl"] + timings["contexts"]
+    result = {
+        "metric": "crawl+extract+contexts wall sec (sustained URLs fetched+extracted/sec in urls_per_sec)",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "replicas": REPLICAS,
+        "urls_fetched": metrics["urls_fetched"],
+        "pages_extracted": metrics["pages_extracted"],
+        "urls_per_sec": round(metrics["urls_fetched"] / timings["crawl"], 2),
+        "crawl_rounds": len(metrics["rounds"]),
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> None:
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo, r_hi = run(lo), run(hi)
+    tp_lo = r_lo["urls_fetched"] / r_lo["queries"]["crawl"]
+    tp_hi = r_hi["urls_fetched"] / r_hi["queries"]["crawl"]
+    eff = (tp_hi / tp_lo) / (hi / lo)
+    print(
+        json.dumps(
+            {
+                "metric": "scaling efficiency: urls/sec at 32 cpus vs 4x urls/sec at 8 cpus",
+                "sec_8": r_lo["value"],
+                "sec_32": r_hi["value"],
+                "urls_per_sec_8": round(tp_lo, 2),
+                "urls_per_sec_32": round(tp_hi, 2),
+                "headline_sec_8": r_lo["value"],
+                "headline_sec_32": r_hi["value"],
+                "scaling_efficiency": round(eff, 3),
+                "urls_fetched": r_hi["urls_fetched"],
+                "sf": SF_DIR,
+                "replicas": REPLICAS,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        run_scaling()
+    else:
+        print(json.dumps(run_bench()))

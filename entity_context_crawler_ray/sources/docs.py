@@ -134,12 +134,15 @@ def _doc_spans(idx: int, text: str, n_docs: int, replica: int) -> List[dict]:
     for i in range(0, len(sents), 2):
         add("text", " ".join(sents[i : i + 2]))
 
-    # inject 0-3 links to entity pages + an anchor sentence each, so the
-    # matcher has hits that survive the cleaner
-    n_links = stable_hash64("nlinks", idx) % 4
+    # inject links + an anchor sentence each: ~60% target entity pages
+    # (those give the matcher hits that survive the cleaner), the rest
+    # target arbitrary pages — so the crawl's 1-hop neighborhood covers
+    # non-entity pages too, like a real wiki link graph
+    n_links = 1 + stable_hash64("nlinks", idx) % 5
     for j in range(n_links):
         target_idx = (idx * 31 + 7 * (j + 1) + 13) % n_docs
-        target_idx -= target_idx % 5  # snap to an entity page index
+        if stable_hash64("targetkind", idx, j) % 5 < 3:
+            target_idx -= target_idx % 5  # snap to an entity page index
         use_alias = stable_hash64("alias", idx, j) % 3 == 0
         anchor = (
             entity_alias_for(target_idx, replica)
