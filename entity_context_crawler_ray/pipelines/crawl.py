@@ -90,6 +90,15 @@ class CrawlConfig:
     fetch_concurrency: int | tuple = 2
     doc_store_partitions: int = 32
     max_rounds: int = 64             # safety backstop
+    # Rounds whose frontier fits under this many rows schedule on the
+    # driver with pure pyarrow + batched parallel actor calls — the
+    # same semantics (tested against the distributed path and the
+    # simulator), without paying per-round Dataset task overhead for
+    # kilobyte-sized bookkeeping.  Fetch+extract (the heavy stage) is
+    # distributed in both regimes; bloom/politeness actors remain the
+    # authoritative state in both.  Set to 0 to force the distributed
+    # scheduling path (what a 10^10-URL frontier would exercise).
+    driver_threshold: int = 1_000_000
 
 
 # Worker-process-global cache: the crawl loop launches a fresh Dataset
@@ -271,6 +280,175 @@ def _make_salt_truncate_fn(capacity: int, deny: Dict[str, List[str]]):
     return truncate
 
 
+_EMPTY_FRONTIER = pa.table(
+    {
+        "url": pa.array([], pa.string()),
+        "host": pa.array([], pa.string()),
+        "priority": pa.array([], pa.float64()),
+        "depth": pa.array([], pa.int32()),
+    }
+)
+
+
+def _schedule_round_driver(
+    frontier_table: pa.Table, bloom, politeness, config: CrawlConfig, round_id: int
+):
+    """Driver fast path for round scheduling (dedup → bloom probe →
+    per-host admission → global sort + budget split).  Identical
+    semantics to the distributed path; actor calls are batched and
+    issued in parallel across shards."""
+    agg = frontier_table.group_by("url").aggregate(
+        [("priority", "max"), ("depth", "min")]
+    )
+    urls = agg["url"].to_pylist()
+    prios = agg["priority_max"].to_pylist()
+    depths = agg["depth_min"].to_pylist()
+
+    seen = ShardedSeenFilter(bloom).probe(urls) if urls else []
+    cand = [
+        (u, p, d) for u, p, d, s in zip(urls, prios, depths, seen) if not s
+    ]
+
+    by_host: Dict[str, list] = {}
+    for u, p, d in cand:
+        by_host.setdefault(host_of(u), []).append((u, p, d))
+    # parallel batched admission: one in-flight call per host
+    futs = {}
+    for host, rows in by_host.items():
+        rows.sort(key=lambda r: (-r[1], r[0]))
+        shard = politeness_shard_of(host, len(politeness))
+        futs[host] = politeness[shard].admit.remote(
+            round_id, host, [r[0] for r in rows]
+        )
+    results = dict(zip(futs.keys(), ray.get(list(futs.values()))))
+
+    info = {u: (p, d) for u, p, d in cand}
+    admitted, deferred = [], []
+    n_denied = 0
+    for host, (adm, dfr, den) in results.items():
+        admitted.extend((u, *info[u]) for u in adm)
+        deferred.extend((u, *info[u]) for u in dfr)
+        n_denied += len(den)
+
+    admitted.sort(key=lambda r: (-r[1], r[0]))
+    n_admitted = len(admitted)
+    fetch_rows = admitted[: config.round_budget]
+    deferred.extend(admitted[config.round_budget :])
+
+    def to_table(rows) -> pa.Table:
+        if not rows:
+            return _EMPTY_FRONTIER
+        return pa.table(
+            {
+                "url": pa.array([r[0] for r in rows], pa.string()),
+                "host": pa.array([host_of(r[0]) for r in rows], pa.string()),
+                "priority": pa.array([r[1] for r in rows], pa.float64()),
+                "depth": pa.array([r[2] for r in rows], pa.int32()),
+            }
+        )
+
+    fetch_tbl = to_table(fetch_rows)
+    if fetch_tbl.num_rows:
+        ShardedSeenFilter(bloom).set_seen(fetch_tbl["url"].to_pylist())
+    return fetch_tbl, to_table(deferred), n_denied, n_admitted
+
+
+def _schedule_round_distributed(
+    frontier_table: pa.Table, bloom, politeness, config: CrawlConfig, round_id: int
+):
+    """Distributed round scheduling: Dataset groupby dedup, bloom-probe
+    map_batches, groupby(host) admission (with optional salted
+    pre-truncation), distributed sort + split_at_indices.  This is the
+    10^10-frontier path; rounds under ``driver_threshold`` use the
+    driver fast path instead."""
+    frontier = ray.data.from_arrow(frontier_table)
+    candidates = _frontier_dedup(frontier)
+    unseen = candidates.map_batches(make_probe_filter(bloom), batch_format="pyarrow")
+
+    cols = ["url", "host", "priority", "depth", "status"]
+    if config.hot_host_salt > 1:
+
+        def add_salt(t: pa.Table) -> pa.Table:
+            salts = pa.array(
+                [
+                    stable_hash64("hostsalt", u) % config.hot_host_salt
+                    for u in t["url"].to_pylist()
+                ],
+                pa.int32(),
+            )
+            return t.append_column("salt", salts)
+
+        pre = (
+            unseen.map_batches(add_salt, batch_format="pyarrow")
+            .groupby(["host", "salt"])
+            .map_groups(
+                _make_salt_truncate_fn(config.capacity, config.deny),
+                batch_format="pandas",
+            )
+        )
+        to_admit = pre.map_batches(
+            lambda t: t.filter(pc.is_null(t["status"])).drop_columns(["status"]),
+            batch_format="pyarrow",
+        )
+        pre_decided = pre.map_batches(
+            lambda t: t.filter(pc.is_valid(t["status"])).select(cols),
+            batch_format="pyarrow",
+        )
+        admitted_all = (
+            to_admit.groupby("host")
+            .map_groups(_make_admit_fn(politeness, round_id, True), batch_format="pandas")
+            .select_columns(cols)
+            .union(pre_decided)
+        )
+    else:
+        admitted_all = (
+            unseen.groupby("host")
+            .map_groups(_make_admit_fn(politeness, round_id, False), batch_format="pandas")
+            .select_columns(cols)
+        )
+
+    admitted_all = admitted_all.materialize()
+
+    def status_eq(s):
+        return lambda t: t.filter(pc.equal(t["status"], s)).drop_columns(["status"])
+
+    admitted = admitted_all.map_batches(status_eq("admit"), batch_format="pyarrow")
+    deferred_ds = admitted_all.map_batches(status_eq("defer"), batch_format="pyarrow")
+    n_denied = admitted_all.map_batches(
+        status_eq("deny"), batch_format="pyarrow"
+    ).count()
+
+    admitted_sorted = admitted.sort(
+        ["priority", "url"], descending=[True, False]
+    ).materialize()
+    n_admitted = admitted_sorted.count()
+    if n_admitted > config.round_budget:
+        fetch_ds, over_budget = admitted_sorted.split_at_indices([config.round_budget])
+    else:
+        fetch_ds, over_budget = admitted_sorted, None
+
+    fetch_tbl = pa.Table.from_pandas(fetch_ds.to_pandas(), preserve_index=False)
+    if fetch_tbl.num_rows:
+        fetch_tbl = fetch_tbl.cast(FRONTIER_SCHEMA)
+        # distributed seen-marking before fetch
+        ray.data.from_arrow(fetch_tbl).map_batches(
+            make_mark_seen(bloom), batch_format="pyarrow"
+        ).materialize()
+    else:
+        fetch_tbl = _EMPTY_FRONTIER
+
+    deferred_parts = [pa.Table.from_pandas(deferred_ds.to_pandas(), preserve_index=False)]
+    if over_budget is not None:
+        deferred_parts.append(
+            pa.Table.from_pandas(over_budget.to_pandas(), preserve_index=False)
+        )
+    deferred_parts = [t.cast(FRONTIER_SCHEMA) for t in deferred_parts if t.num_rows]
+    deferred_tbl = (
+        pa.concat_tables(deferred_parts) if deferred_parts else _EMPTY_FRONTIER
+    )
+    return fetch_tbl, deferred_tbl, n_denied, n_admitted
+
+
 def crawl(
     store_dir: str,
     seeds: pa.Table,
@@ -332,78 +510,29 @@ def crawl(
         if frontier_table.num_rows == 0:
             break
         t_round = time.time()
-        frontier = ray.data.from_arrow(frontier_table)
+        phase_t: Dict[str, float] = {}
 
-        candidates = _frontier_dedup(frontier)
-        unseen = candidates.map_batches(
-            make_probe_filter(bloom), batch_format="pyarrow"
-        )
+        def _mark(name: str, since=[time.time()]):
+            now = time.time()
+            phase_t[name] = round(now - since[0], 3)
+            since[0] = now
 
-        # per-host admission (optionally salted pre-truncation first)
-        if config.hot_host_salt > 1:
-            def add_salt(t: pa.Table) -> pa.Table:
-                salts = pa.array(
-                    [
-                        stable_hash64("hostsalt", u) % config.hot_host_salt
-                        for u in t["url"].to_pylist()
-                    ],
-                    pa.int32(),
-                )
-                return t.append_column("salt", salts)
-
-            pre = (
-                unseen.map_batches(add_salt, batch_format="pyarrow")
-                .groupby(["host", "salt"])
-                .map_groups(
-                    _make_salt_truncate_fn(config.capacity, config.deny),
-                    batch_format="pandas",
-                )
-            )
-            cols = ["url", "host", "priority", "depth", "status"]
-            to_admit = pre.filter(lambda r: r["status"] is None).drop_columns(
-                ["status"]
-            )
-            pre_decided = pre.filter(lambda r: r["status"] is not None).select_columns(
-                cols
-            )
-            admitted_all = (
-                to_admit.groupby("host")
-                .map_groups(
-                    _make_admit_fn(politeness, round_id, True), batch_format="pandas"
-                )
-                .select_columns(cols)
-                .union(pre_decided)
+        # scheduling: dedup → probe → admission → sort + budget split
+        # (driver fast path for small rounds, distributed otherwise),
+        # then the fetch set is marked seen
+        if frontier_table.num_rows <= config.driver_threshold:
+            fetch_tbl, deferred_tbl, n_denied, n_admitted = _schedule_round_driver(
+                frontier_table, bloom, politeness, config, round_id
             )
         else:
-            admitted_all = unseen.groupby("host").map_groups(
-                _make_admit_fn(politeness, round_id, False), batch_format="pandas"
-            ).select_columns(["url", "host", "priority", "depth", "status"])
-
-        admitted_all = admitted_all.materialize()
-        admitted = admitted_all.filter(lambda r: r["status"] == "admit").drop_columns(
-            ["status"]
-        )
-        deferred_politeness = admitted_all.filter(
-            lambda r: r["status"] == "defer"
-        ).drop_columns(["status"])
-        n_denied = admitted_all.filter(lambda r: r["status"] == "deny").count()
-
-        # global round budget: deterministic (priority desc, url asc)
-        admitted_sorted = admitted.sort(
-            ["priority", "url"], descending=[True, False]
-        ).materialize()
-        n_admitted = admitted_sorted.count()
-        if n_admitted > config.round_budget:
-            fetch_ds, over_budget = admitted_sorted.split_at_indices(
-                [config.round_budget]
+            fetch_tbl, deferred_tbl, n_denied, n_admitted = (
+                _schedule_round_distributed(
+                    frontier_table, bloom, politeness, config, round_id
+                )
             )
-        else:
-            fetch_ds, over_budget = admitted_sorted, None
+        _mark("schedule")
 
         # fetch log (crawl-ordering parity artifact)
-        fetch_tbl = pa.Table.from_pandas(
-            fetch_ds.to_pandas(), preserve_index=False
-        )
         log_dir = os.path.join(out_dir, "fetch_log")
         os.makedirs(log_dir, exist_ok=True)
         log_tbl = fetch_tbl.append_column(
@@ -412,6 +541,7 @@ def crawl(
             "round", pa.array([round_id] * fetch_tbl.num_rows, pa.int32())
         )
         pq.write_table(log_tbl, os.path.join(log_dir, f"round_{round_id}.parquet"))
+        _mark("log")
 
         if fetch_tbl.num_rows:
             fetch_in = ray.data.from_arrow(
@@ -419,36 +549,35 @@ def crawl(
                     "round", pa.array([round_id] * fetch_tbl.num_rows, pa.int32())
                 )
             )
-            marked = fetch_in.map_batches(
-                make_mark_seen(bloom), batch_format="pyarrow"
-            )
 
             def fetch_extract(batch: pa.Table) -> pa.Table:
                 return FetchExtract(
                     store_dir, config.doc_store_partitions, entities_ref
                 )(batch)
 
-            extracted = marked.map_batches(
+            extracted = fetch_in.map_batches(
                 fetch_extract,
                 batch_format="pyarrow",
                 batch_size=config.fetch_batch_size,
                 num_cpus=1,
             ).materialize()
+            _mark("fetch_extract")
 
             # page output with lineage column (round)
             pages_out = extracted.drop_columns(["out_links", "fetched", "depth"])
             pages_out.write_parquet(os.path.join(out_dir, f"round={round_id}"))
+            _mark("write_pages")
 
-            n_fetched = extracted.filter(lambda r: r["fetched"]).count()
-            n_missing = fetch_tbl.num_rows - n_fetched
-
-            # out-links -> next-round candidates
+            # out-links -> next-round candidates: distributed explode,
+            # then aggregate (in-degree + entity bonus).  The exploded
+            # link table is one narrow row per link; aggregate on the
+            # driver below threshold, groupby(target) above it.
             def explode_links(t: pa.Table) -> pa.Table:
                 col = t["out_links"].combine_chunks()
                 parent = pc.list_parent_indices(col)
                 flat = pc.list_flatten(col)
                 depths = pc.take(t["depth"], parent)
-                return pa.table(
+                out = pa.table(
                     {
                         "target": pc.struct_field(flat, "target"),
                         "is_entity": pc.cast(
@@ -457,65 +586,57 @@ def crawl(
                         "src_depth": depths,
                     }
                 )
+                mask = pc.less(out["src_depth"], pa.scalar(config.max_depth, pa.int32()))
+                return out.filter(mask)
 
-            links = extracted.map_batches(explode_links, batch_format="pyarrow")
-            links = links.filter(lambda r: r["src_depth"] < config.max_depth)
-
-            from ray.data.aggregate import Count, Max, Min
-
-            link_agg = links.groupby("target").aggregate(
-                Count(alias_name="in_degree"),
-                Max("is_entity", alias_name="is_entity"),
-                Min("src_depth", alias_name="src_depth"),
-            )
-
-            def to_frontier(t: pa.Table) -> pa.Table:
-                urls = t["target"].to_pylist()
-                prio = pc.add(
-                    pc.cast(t["in_degree"], pa.float64()),
-                    pc.multiply(
-                        pc.cast(t["is_entity"], pa.float64()),
-                        pa.scalar(config.entity_bonus, pa.float64()),
+            n_fetched = int(
+                extracted.map_batches(
+                    lambda t: pa.table(
+                        {"n": [pc.sum(pc.cast(t["fetched"], pa.int64())).as_py() or 0]}
                     ),
+                    batch_format="pyarrow",
+                ).sum("n")
+            )
+            n_missing = fetch_tbl.num_rows - n_fetched
+
+            links_ds = extracted.map_batches(explode_links, batch_format="pyarrow")
+            links_tbl = pa.concat_tables(
+                ray.get(links_ds.to_arrow_refs()), promote_options="default"
+            )
+            if links_tbl.num_rows:
+                la = links_tbl.group_by("target").aggregate(
+                    [("target", "count"), ("is_entity", "max"), ("src_depth", "min")]
                 )
-                return pa.table(
+                urls = la["target"].to_pylist()
+                prio = [
+                    float(c) + config.entity_bonus * float(e)
+                    for c, e in zip(
+                        la["target_count"].to_pylist(), la["is_entity_max"].to_pylist()
+                    )
+                ]
+                new_frontier = pa.table(
                     {
                         "url": pa.array(urls, pa.string()),
                         "host": pa.array([host_of(u) for u in urls], pa.string()),
-                        "priority": prio,
-                        "depth": pc.cast(
-                            pc.add(t["src_depth"], pa.scalar(1, pa.int32())), pa.int32()
+                        "priority": pa.array(prio, pa.float64()),
+                        "depth": pa.array(
+                            [d + 1 for d in la["src_depth_min"].to_pylist()], pa.int32()
                         ),
                     }
                 )
-
-            new_frontier = link_agg.map_batches(to_frontier, batch_format="pyarrow")
+            else:
+                new_frontier = None
+            _mark("links")
         else:
             n_fetched = 0
             n_missing = 0
             new_frontier = None
 
-        # next frontier = politeness-deferred ∪ over-budget ∪ new links
-        parts = [deferred_politeness]
-        if over_budget is not None:
-            parts.append(over_budget)
-        if new_frontier is not None:
-            parts.append(new_frontier)
-        nxt = parts[0]
-        for p in parts[1:]:
-            nxt = nxt.union(p)
-        pdf = nxt.to_pandas()
+        # next frontier = deferred (politeness + over-budget) ∪ new links
+        parts = [t for t in (deferred_tbl, new_frontier) if t is not None and t.num_rows]
+        frontier_candidates = frontier_table.num_rows
         frontier_table = (
-            pa.Table.from_pandas(pdf, preserve_index=False).cast(FRONTIER_SCHEMA)
-            if len(pdf)
-            else pa.table(
-                {
-                    "url": pa.array([], pa.string()),
-                    "host": pa.array([], pa.string()),
-                    "priority": pa.array([], pa.float64()),
-                    "depth": pa.array([], pa.int32()),
-                }
-            )
+            pa.concat_tables(parts).cast(FRONTIER_SCHEMA) if parts else _EMPTY_FRONTIER
         )
 
         metrics["urls_fetched"] += fetch_tbl.num_rows
@@ -523,16 +644,16 @@ def crawl(
         metrics["rounds"].append(
             {
                 "round": round_id,
-                "candidates": frontier.count(),
+                "candidates": frontier_candidates,
                 "admitted": n_admitted,
                 "fetched": fetch_tbl.num_rows,
                 "extracted": n_fetched,
                 "fetch_misses": n_missing,
                 "robots_denied": n_denied,
-                "deferred": deferred_politeness.count()
-                + (over_budget.count() if over_budget is not None else 0),
+                "deferred": deferred_tbl.num_rows,
                 "new_frontier": frontier_table.num_rows,
                 "sec": round(time.time() - t_round, 3),
+                "phases": phase_t,
             }
         )
 

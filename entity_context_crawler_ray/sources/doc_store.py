@@ -54,19 +54,22 @@ class DocStoreReader:
     def __init__(self, store_dir: str, num_partitions: int = DEFAULT_PARTITIONS):
         self.store_dir = store_dir
         self.num_partitions = num_partitions
-        self._cache: Dict[int, Dict[str, list]] = {}
+        # part -> (arrow spans column, {doc_id: row index}); rows stay
+        # Arrow until actually fetched — conversion cost is then
+        # proportional to fetched docs, not partition size
+        self._cache: Dict[int, Tuple[pa.ChunkedArray, Dict[str, int]]] = {}
 
-    def _partition_index(self, part: int) -> Dict[str, list]:
+    def _partition_index(self, part: int):
         if part not in self._cache:
             path = os.path.join(self.store_dir, f"part={part}")
-            idx: Dict[str, list] = {}
             if os.path.isdir(path):
                 table = pq.read_table(path, columns=["doc_id", "spans"])
-                for d, s in zip(
-                    table["doc_id"].to_pylist(), table["spans"].to_pylist()
-                ):
-                    idx[d] = s
-            self._cache[part] = idx
+                row_of = {
+                    d: i for i, d in enumerate(table["doc_id"].to_pylist())
+                }
+                self._cache[part] = (table["spans"].combine_chunks(), row_of)
+            else:
+                self._cache[part] = (None, {})
         return self._cache[part]
 
     def lookup(self, doc_ids: List[str]) -> Tuple[Dict[str, list], List[str]]:
@@ -74,9 +77,12 @@ class DocStoreReader:
         hits: Dict[str, list] = {}
         missing: List[str] = []
         for d in doc_ids:
-            idx = self._partition_index(doc_partition(d, self.num_partitions))
-            if d in idx:
-                hits[d] = idx[d]
-            else:
+            spans_col, row_of = self._partition_index(
+                doc_partition(d, self.num_partitions)
+            )
+            row = row_of.get(d)
+            if row is None:
                 missing.append(d)
+            else:
+                hits[d] = spans_col[row].as_py()
         return hits, missing

@@ -129,7 +129,10 @@ def test_crawl_matches_simulator(store_and_inputs):
     assert metrics["urls_fetched"] == len(sim["fetch_log"])
 
 
-def test_crawl_salting_equivalent(store_and_inputs):
+def test_crawl_salting_and_scheduling_paths_equivalent(store_and_inputs):
+    """The distributed scheduling path (driver_threshold=0), with and
+    without hot-host salting, must reproduce the driver fast path's
+    fetch ordering exactly."""
     store, ref, docs_local, idx, seeds = store_and_inputs
     kw = dict(
         max_depth=1,
@@ -142,13 +145,21 @@ def test_crawl_salting_equivalent(store_and_inputs):
         max_rounds=40,
     )
     _, out_plain = _run(store, ref, seeds, CrawlConfig(**kw), "plain")
+    _, out_dist = _run(
+        store, ref, seeds, CrawlConfig(driver_threshold=0, **kw), "dist"
+    )
     _, out_salted = _run(
-        store, ref, seeds, CrawlConfig(hot_host_salt=4, **kw), "salted"
+        store,
+        ref,
+        seeds,
+        CrawlConfig(driver_threshold=0, hot_host_salt=4, **kw),
+        "salted",
     )
-    a, b = _read_fetch_log(out_plain), _read_fetch_log(out_salted)
-    pd.testing.assert_frame_equal(
-        a[["round", "rank", "url"]], b[["round", "rank", "url"]]
-    )
+    a = _read_fetch_log(out_plain)[["round", "rank", "url"]]
+    b = _read_fetch_log(out_dist)[["round", "rank", "url"]]
+    c = _read_fetch_log(out_salted)[["round", "rank", "url"]]
+    pd.testing.assert_frame_equal(a, b)
+    pd.testing.assert_frame_equal(a, c)
 
 
 def test_crawl_resume_equivalence(store_and_inputs):
