@@ -65,9 +65,8 @@ def entry() -> Any:
         zero_copy_batch=True,
     )
     crawled = crawled.materialize()
-    mentions_by_entity: dict = {}
-    for r in mentions_view(crawled).iter_rows():
-        mentions_by_entity.setdefault(r["entity_id"], []).append(r["mention"])
+    _mdf = mentions_view(crawled).select_columns(["entity_id", "mention"]).to_pandas()
+    mentions_by_entity = _mdf.groupby("entity_id")["mention"].apply(list).to_dict()
     contexts = build_contexts(
         crawled,
         ents,

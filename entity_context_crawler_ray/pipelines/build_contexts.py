@@ -117,13 +117,28 @@ class WindowMatches:
         return t
 
 
+# worker-process cache for the broadcast lookup: map_groups calls the
+# fn once per entity group, and ray.get-ing (deserializing) the whole
+# dict per group dominates runtime for small groups
+_LOOKUP_CACHE: Dict = {}
+
+
+def _get_broadcast(ref):
+    key = ref.hex() if hasattr(ref, "hex") else id(ref)
+    if key not in _LOOKUP_CACHE:
+        if len(_LOOKUP_CACHE) > 4:
+            _LOOKUP_CACHE.clear()
+        _LOOKUP_CACHE[key] = ray.get(ref)
+    return _LOOKUP_CACHE[key]
+
+
 def _make_group_fn(
     lookup_ref,
     crop_sentences: bool,
     limit_contexts: Optional[int],
 ):
     def per_entity(group: pd.DataFrame) -> pd.DataFrame:
-        lookup = ray.get(lookup_ref)
+        lookup = _get_broadcast(lookup_ref)
         eid_info: Dict[str, tuple] = lookup["eid_info"]
         mentions_by_entity: Dict[str, list] = lookup["mentions_by_entity"]
         allowed = lookup["allowed"]

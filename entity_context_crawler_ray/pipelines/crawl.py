@@ -41,6 +41,7 @@ tests/crawl_sim reproduces):
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import time
@@ -55,7 +56,7 @@ import ray
 import ray.data
 
 from ..functions.hashing import stable_hash64
-from ..sources.doc_store import DocStoreReader
+from ..sources.doc_store import DocStoreReader, PlasmaDocStoreReader, preload_doc_store
 from ..sources.docs import host_of
 from ..stages.match import COMBINED_SCHEMA, PageProcessor, process_doc
 from ..state.bloom import BloomShardActor, ShardedSeenFilter
@@ -89,6 +90,7 @@ class CrawlConfig:
     fetch_batch_size: int = 64
     fetch_concurrency: int | tuple = 2
     doc_store_partitions: int = 32
+    preload_store: bool = True       # pin partitions in plasma (zero-copy fetch)
     max_rounds: int = 64             # safety backstop
     # Rounds whose frontier fits under this many rows schedule on the
     # driver with pure pyarrow + batched parallel actor calls — the
@@ -112,7 +114,7 @@ class CrawlConfig:
 _WORKER_CACHE: Dict = {}
 
 
-def _fetch_state(store_dir: str, num_partitions: int, entities_ref):
+def _fetch_state(store_dir: str, num_partitions: int, entities_ref, store_refs=None):
     key = ("fetch", store_dir)
     st = _WORKER_CACHE.get(key)
     if st is None:
@@ -121,11 +123,11 @@ def _fetch_state(store_dir: str, num_partitions: int, entities_ref):
             if isinstance(entities_ref, ray.ObjectRef)
             else entities_ref
         )
-        st = (
-            DocStoreReader(store_dir, num_partitions),
-            idx["title_to_eid"],
-            idx["eid_to_label"],
-        )
+        if store_refs is not None:
+            reader = PlasmaDocStoreReader(ray.get(store_refs), num_partitions)
+        else:
+            reader = DocStoreReader(store_dir, num_partitions)
+        st = (reader, idx["title_to_eid"], idx["eid_to_label"])
         _WORKER_CACHE[key] = st
     return st
 
@@ -135,9 +137,9 @@ class FetchExtract:
     (+ out_links for the frontier).  Constructed per task, but all
     state comes from the worker-global cache (see _WORKER_CACHE)."""
 
-    def __init__(self, store_dir: str, num_partitions: int, entities_ref):
+    def __init__(self, store_dir: str, num_partitions: int, entities_ref, store_refs=None):
         self.reader, self.title_to_eid, self.eid_to_label = _fetch_state(
-            store_dir, num_partitions, entities_ref
+            store_dir, num_partitions, entities_ref, store_refs
         )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -458,6 +460,7 @@ def crawl(
     *,
     ckpt_dir: Optional[str] = None,
     resume: bool = False,
+    store_refs=None,
 ) -> Dict:
     """Run the crawl to frontier exhaustion.  Returns metrics.
 
@@ -503,6 +506,21 @@ def crawl(
             }
         )
 
+    # optional plasma preload: one copy of each partition in the
+    # object store, mapped zero-copy by every fetch worker (callers may
+    # pass prebuilt ``store_refs`` to reuse a warm store across crawls)
+    _store_refs_local = None
+    if store_refs is None and config.preload_store:
+        _store_refs_local = preload_doc_store(store_dir, config.doc_store_partitions)
+        store_refs = ray.put(_store_refs_local)
+
+    # spin up the state actors before round 0 (first .remote on a fresh
+    # actor pays process startup; do it once, in parallel)
+    ray.get(
+        [h.probe.remote([]) for h in bloom]
+        + [h.admit.remote(-1, "__warm__", []) for h in politeness]
+    )
+
     metrics: Dict = {"rounds": [], "urls_fetched": 0, "pages_extracted": 0}
     t_start = time.time()
 
@@ -544,69 +562,105 @@ def crawl(
         _mark("log")
 
         if fetch_tbl.num_rows:
-            fetch_in = ray.data.from_arrow(
-                fetch_tbl.append_column(
-                    "round", pa.array([round_id] * fetch_tbl.num_rows, pa.int32())
-                )
+            # one Arrow slice per fetch batch: from_arrow with a single
+            # table would yield ONE block → ONE serial map task
+            with_round = fetch_tbl.append_column(
+                "round", pa.array([round_id] * fetch_tbl.num_rows, pa.int32())
             )
+            step = config.fetch_batch_size
+            slices = [
+                with_round.slice(i, step)
+                for i in range(0, with_round.num_rows, step)
+            ]
+            fetch_in = ray.data.from_arrow(slices)
 
-            def fetch_extract(batch: pa.Table) -> pa.Table:
-                return FetchExtract(
-                    store_dir, config.doc_store_partitions, entities_ref
+            # ONE fused execution per round: fetch + extract + write the
+            # page parquet from inside the task (deterministic file name
+            # per batch → a retried task overwrites its own file, never
+            # duplicates) + per-batch link/count partial aggregates as
+            # the task's (tiny) return value.  Collapsing the former
+            # fetch/write/count/links executions into one map removes
+            # ~4 streaming-executor launches of fixed latency per round.
+            round_dir = os.path.join(out_dir, f"round={round_id}")
+            os.makedirs(round_dir, exist_ok=True)
+            max_depth = config.max_depth
+            entity_bonus = config.entity_bonus
+
+            def fetch_extract_fused(batch: pa.Table) -> pa.Table:
+                out = FetchExtract(
+                    store_dir, config.doc_store_partitions, entities_ref, store_refs
                 )(batch)
+                pages = out.drop_columns(["out_links", "fetched", "depth"])
+                fname = hashlib.blake2b(
+                    ("\x1f".join(batch["url"].to_pylist())).encode("utf-8"),
+                    digest_size=10,
+                ).hexdigest()
+                pq.write_table(pages, os.path.join(round_dir, f"{fname}.parquet"))
 
-            extracted = fetch_in.map_batches(
-                fetch_extract,
-                batch_format="pyarrow",
-                batch_size=config.fetch_batch_size,
-                num_cpus=1,
-            ).materialize()
-            _mark("fetch_extract")
-
-            # page output with lineage column (round)
-            pages_out = extracted.drop_columns(["out_links", "fetched", "depth"])
-            pages_out.write_parquet(os.path.join(out_dir, f"round={round_id}"))
-            _mark("write_pages")
-
-            # out-links -> next-round candidates: distributed explode,
-            # then aggregate (in-degree + entity bonus).  The exploded
-            # link table is one narrow row per link; aggregate on the
-            # driver below threshold, groupby(target) above it.
-            def explode_links(t: pa.Table) -> pa.Table:
-                col = t["out_links"].combine_chunks()
+                col = out["out_links"].combine_chunks()
                 parent = pc.list_parent_indices(col)
                 flat = pc.list_flatten(col)
-                depths = pc.take(t["depth"], parent)
-                out = pa.table(
+                depths = pc.take(out["depth"], parent)
+                links = pa.table(
                     {
                         "target": pc.struct_field(flat, "target"),
-                        "is_entity": pc.cast(
-                            pc.struct_field(flat, "is_entity"), pa.int8()
-                        ),
+                        "is_entity": pc.cast(pc.struct_field(flat, "is_entity"), pa.int8()),
                         "src_depth": depths,
                     }
+                ).filter(pc.less(depths, pa.scalar(max_depth, pa.int32())))
+                # partial aggregate within the batch
+                agg = links.group_by("target").aggregate(
+                    [("target", "count"), ("is_entity", "max"), ("src_depth", "min")]
                 )
-                mask = pc.less(out["src_depth"], pa.scalar(config.max_depth, pa.int32()))
-                return out.filter(mask)
+                nf = pc.sum(pc.cast(out["fetched"], pa.int64())).as_py() or 0
+                stats = pa.table(
+                    {
+                        "target": pa.array([None], pa.string()),
+                        "target_count": pa.array([nf], pa.int64()),
+                        "is_entity_max": pa.array([0], pa.int8()),
+                        "src_depth_min": pa.array([0], pa.int32()),
+                    }
+                )
+                agg = agg.select(
+                    ["target", "target_count", "is_entity_max", "src_depth_min"]
+                ).cast(stats.schema)
+                return pa.concat_tables([agg, stats], promote_options="default")
 
-            n_fetched = int(
-                extracted.map_batches(
-                    lambda t: pa.table(
-                        {"n": [pc.sum(pc.cast(t["fetched"], pa.int64())).as_py() or 0]}
-                    ),
+            fused_parts = ray.get(
+                fetch_in.map_batches(
+                    fetch_extract_fused,
                     batch_format="pyarrow",
-                ).sum("n")
+                    batch_size=config.fetch_batch_size,
+                    num_cpus=1,
+                ).to_arrow_refs()
+            )
+            fused = pa.concat_tables(fused_parts, promote_options="default")
+            _mark("fetch_extract")
+
+            stats_mask = pc.is_null(fused["target"])
+            n_fetched = int(
+                pc.sum(fused.filter(stats_mask)["target_count"]).as_py() or 0
             )
             n_missing = fetch_tbl.num_rows - n_fetched
 
-            links_ds = extracted.map_batches(explode_links, batch_format="pyarrow")
-            links_tbl = pa.concat_tables(
-                ray.get(links_ds.to_arrow_refs()), promote_options="default"
+            partials = fused.filter(pc.invert(stats_mask))
+            _merged = partials.group_by("target").aggregate(
+                [
+                    ("target_count", "sum"),
+                    ("is_entity_max", "max"),
+                    ("src_depth_min", "min"),
+                ]
+            )
+            links_tbl = pa.table(
+                {
+                    "target": _merged["target"],
+                    "target_count": _merged["target_count_sum"],
+                    "is_entity_max": _merged["is_entity_max_max"],
+                    "src_depth_min": _merged["src_depth_min_min"],
+                }
             )
             if links_tbl.num_rows:
-                la = links_tbl.group_by("target").aggregate(
-                    [("target", "count"), ("is_entity", "max"), ("src_depth", "min")]
-                )
+                la = links_tbl
                 urls = la["target"].to_pylist()
                 prio = [
                     float(c) + config.entity_bonus * float(e)

@@ -658,10 +658,8 @@ def ecc_mentions(sf_dir: str):
 
 
 def _mentions_dict(combined) -> Dict[str, list]:
-    out: Dict[str, list] = {}
-    for r in mentions_view(combined).iter_rows():
-        out.setdefault(r["entity_id"], []).append(r["mention"])
-    return out
+    df = mentions_view(combined).select_columns(["entity_id", "mention"]).to_pandas()
+    return df.groupby("entity_id")["mention"].apply(list).to_dict()
 
 
 def ecc_contexts(sf_dir: str):

@@ -100,7 +100,9 @@ def entity_in_id_map(idx: int) -> bool:
     return stable_hash64("idmap", idx) % 5 != 0
 
 
-def _doc_spans(idx: int, text: str, n_docs: int, replica: int) -> List[dict]:
+def _doc_spans(
+    idx: int, text: str, n_docs: int, replica: int, text_repeat: int = 1
+) -> List[dict]:
     """Deterministic interleaved span sequence for one source document."""
     spans: List[dict] = []
     offset = 0
@@ -118,7 +120,9 @@ def _doc_spans(idx: int, text: str, n_docs: int, replica: int) -> List[dict]:
     # every 7th is truncated short, so the cleaner's uppercase/length
     # filters (reference cmd/build_matches_db.py:344-350) have real
     # work on every page.
-    words = text.split()
+    # text_repeat scales page weight toward realistic article length
+    # (the source docs are ~50 words; real wiki articles are ~1000+)
+    words = text.split() * max(text_repeat, 1)
     sents = []
     for ci, start in enumerate(range(0, len(words), 9)):
         chunk = words[start : start + 9]
@@ -179,9 +183,10 @@ def _doc_spans(idx: int, text: str, n_docs: int, replica: int) -> List[dict]:
 class DeriveDocs:
     """map_batches callable: documents rows -> docs rows (input_hint shape)."""
 
-    def __init__(self, n_docs: int, replicas: int = 1):
+    def __init__(self, n_docs: int, replicas: int = 1, text_repeat: int = 1):
         self.n_docs = n_docs
         self.replicas = replicas
+        self.text_repeat = text_repeat
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         doc_ids: List[str] = []
@@ -191,7 +196,9 @@ class DeriveDocs:
         for r in range(self.replicas):
             for idx, text in zip(idxs, texts):
                 doc_ids.append(doc_title(idx, r))
-                span_col.append(_doc_spans(idx, text, self.n_docs, r))
+                span_col.append(
+                    _doc_spans(idx, text, self.n_docs, r, self.text_repeat)
+                )
         return pa.Table.from_arrays(
             [pa.array(doc_ids, pa.string()), pa.array(span_col, SPAN_TYPE)],
             schema=DOCS_SCHEMA,
@@ -202,7 +209,9 @@ def num_source_docs(sf_dir: str) -> int:
     return pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
 
 
-def read_docs(sf_dir: str, replicas: int = 1) -> ray.data.Dataset:
+def read_docs(
+    sf_dir: str, replicas: int = 1, text_repeat: int = 1
+) -> ray.data.Dataset:
     """documents.parquet -> docs Dataset (distributed derivation).
 
     Column-pruned read (only doc_id + text leave storage).
@@ -212,7 +221,7 @@ def read_docs(sf_dir: str, replicas: int = 1) -> ray.data.Dataset:
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
     return src.map_batches(
-        DeriveDocs(n, replicas), batch_format="pyarrow", batch_size=256
+        DeriveDocs(n, replicas, text_repeat), batch_format="pyarrow", batch_size=256
     )
 
 

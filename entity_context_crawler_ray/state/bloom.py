@@ -46,30 +46,39 @@ class BloomShard:
         self.bits = np.zeros(num_bits // 8, dtype=np.uint8)
         self.count = 0  # approximate insert count (for FPR monitoring)
 
-    def _positions(self, url: str) -> np.ndarray:
-        h1, h2 = _base_hashes(url)
-        # double hashing: position_i = (h1 + i*h2) mod m
+    def _positions(self, urls: Sequence[str]) -> np.ndarray:
+        """(n, k) bit positions via double hashing:
+        position_i = (h1 + i*h2) mod m.  Hashing is per-url (blake2b),
+        position arithmetic is one vectorized numpy expression."""
+        n = len(urls)
+        h1 = np.empty(n, dtype=np.uint64)
+        h2 = np.empty(n, dtype=np.uint64)
+        for j, url in enumerate(urls):
+            a, b = _base_hashes(url)
+            h1[j], h2[j] = a, b
         i = np.arange(self.num_hashes, dtype=np.uint64)
-        return (np.uint64(h1) + i * np.uint64(h2)) % np.uint64(self.num_bits)
+        with np.errstate(over="ignore"):
+            return (h1[:, None] + i[None, :] * h2[:, None]) % np.uint64(self.num_bits)
 
     def probe(self, urls: Sequence[str]) -> List[bool]:
         """True = possibly seen; False = definitely new. Read-only."""
-        out = []
-        for url in urls:
-            pos = self._positions(url)
-            byte_idx = (pos >> np.uint64(3)).astype(np.int64)
-            masks = (1 << (pos & np.uint64(7))).astype(np.uint8)
-            out.append(bool(np.all(self.bits[byte_idx] & masks)))
-        return out
+        if not urls:
+            return []
+        pos = self._positions(urls)
+        byte_idx = (pos >> np.uint64(3)).astype(np.int64)
+        masks = (np.uint8(1) << (pos & np.uint64(7)).astype(np.uint8))
+        hit = (self.bits[byte_idx] & masks) != 0
+        return hit.all(axis=1).tolist()
 
     def set_seen(self, urls: Sequence[str]) -> int:
         """Mark URLs seen (idempotent bit-OR). Returns shard count."""
-        for url in urls:
-            pos = self._positions(url)
-            byte_idx = (pos >> np.uint64(3)).astype(np.int64)
-            masks = (1 << (pos & np.uint64(7))).astype(np.uint8)
-            np.bitwise_or.at(self.bits, byte_idx, masks)
-            self.count += 1
+        if not urls:
+            return self.count
+        pos = self._positions(urls)
+        byte_idx = (pos >> np.uint64(3)).astype(np.int64)
+        masks = (np.uint8(1) << (pos & np.uint64(7)).astype(np.uint8))
+        np.bitwise_or.at(self.bits, byte_idx.ravel(), masks.ravel())
+        self.count += len(urls)
         return self.count
 
     # --- checkpoint -------------------------------------------------------
