@@ -73,18 +73,29 @@ class DocStoreReader:
         return self._cache[part]
 
     def lookup(self, doc_ids: List[str]) -> Tuple[Dict[str, list], List[str]]:
-        """-> ({doc_id: spans} for hits, [missing doc_ids])."""
+        """-> ({doc_id: spans} for hits, [missing doc_ids]).
+
+        Rows are gathered per partition with one vectorized
+        ``take`` + ``to_pylist`` (an order of magnitude cheaper than
+        per-row ``__getitem__().as_py()``)."""
         hits: Dict[str, list] = {}
         missing: List[str] = []
+        by_part: Dict[int, List[str]] = {}
         for d in doc_ids:
-            spans_col, row_of = self._partition_index(
-                doc_partition(d, self.num_partitions)
-            )
-            row = row_of.get(d)
-            if row is None:
-                missing.append(d)
-            else:
-                hits[d] = spans_col[row].as_py()
+            by_part.setdefault(doc_partition(d, self.num_partitions), []).append(d)
+        for part, ds in by_part.items():
+            spans_col, row_of = self._partition_index(part)
+            found, rows = [], []
+            for d in ds:
+                row = row_of.get(d)
+                if row is None:
+                    missing.append(d)
+                else:
+                    found.append(d)
+                    rows.append(row)
+            if rows:
+                taken = spans_col.take(rows).to_pylist()
+                hits.update(zip(found, taken))
         return hits, missing
 
 
