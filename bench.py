@@ -28,6 +28,7 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 REPLICAS = int(os.environ.get("GRAFT_DOCS_REPLICAS", "8"))
 TEXT_REPEAT = int(os.environ.get("GRAFT_TEXT_REPEAT", "10"))
 SKIP_QUERIES = os.environ.get("GRAFT_SKIP_QUERIES", "") == "1"
+SKIP_CONTEXTS = os.environ.get("GRAFT_SKIP_CONTEXTS", "") == "1"
 
 
 
@@ -71,8 +72,9 @@ def run_bench() -> dict:
             store,
             num_partitions=store_parts,
         )
-    # warm the OS page cache so we measure compute + shuffle, not disk
-    ray.data.read_parquet(store).count()
+    if os.environ.get("GRAFT_PREPARE_ONLY", "") == "1":
+        ray.shutdown()
+        return {"prepared": store}
 
     ents = docsrc.entity_catalog(SF_DIR, replicas=REPLICAS)
     ref = ray.put(docsrc.entities_index(ents))
@@ -122,26 +124,29 @@ def run_bench() -> dict:
 
     # --- contexts build on the crawled pages ----------------------------
     t0 = time.time()
-    round_files = sorted(glob.glob(f"{out}/round=*/*.parquet"))
-    crawled = ray.data.read_parquet(round_files).map_batches(
-        lambda t: t.filter(pc.equal(t["error"], "")),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-    ).materialize()
-    _mdf = mentions_view(crawled).select_columns(["entity_id", "mention"]).to_pandas()
-    mbe = _mdf.groupby("entity_id")["mention"].apply(list).to_dict()
-    contexts = build_contexts(
-        crawled,
-        ents,
-        docsrc.id_map_table(SF_DIR),
-        mbe,
-        context_size=100,
-        limit_contexts=10,
-    )
-    ctx_dir = f"{base}/contexts_{NUM_CPUS}"
-    shutil.rmtree(ctx_dir, ignore_errors=True)
-    contexts.write_parquet(ctx_dir)
-    timings["contexts"] = round(time.time() - t0, 3)
+    if SKIP_CONTEXTS:
+        timings["contexts"] = 0.0
+    else:
+        round_files = sorted(glob.glob(f"{out}/round=*/*.parquet"))
+        crawled = ray.data.read_parquet(round_files).map_batches(
+            lambda t: t.filter(pc.equal(t["error"], "")),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ).materialize()
+        _mdf = mentions_view(crawled).select_columns(["entity_id", "mention"]).to_pandas()
+        mbe = _mdf.groupby("entity_id")["mention"].apply(list).to_dict()
+        contexts = build_contexts(
+            crawled,
+            ents,
+            docsrc.id_map_table(SF_DIR),
+            mbe,
+            context_size=100,
+            limit_contexts=10,
+        )
+        ctx_dir = f"{base}/contexts_{NUM_CPUS}"
+        shutil.rmtree(ctx_dir, ignore_errors=True)
+        contexts.write_parquet(ctx_dir)
+        timings["contexts"] = round(time.time() - t0, 3)
 
     # --- representative operator queries at SF_DIR ----------------------
     if not SKIP_QUERIES:
@@ -181,7 +186,7 @@ def run_bench() -> dict:
 def run_scaling() -> None:
     # more sustained work for the scaling comparison (same input at
     # both parallelism levels) unless the caller pinned a size
-    replicas = os.environ.get("GRAFT_DOCS_REPLICAS", "64")
+    replicas = os.environ.get("GRAFT_DOCS_REPLICAS", "48")
 
     def run(ncpu: int) -> dict:
         env = dict(
@@ -189,6 +194,7 @@ def run_scaling() -> None:
             RAY_GRAFT_CPUS=str(ncpu),
             GRAFT_DOCS_REPLICAS=replicas,
             GRAFT_SKIP_QUERIES="1",
+            GRAFT_SKIP_CONTEXTS="1",
         )
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
@@ -199,6 +205,22 @@ def run_scaling() -> None:
             cwd=os.path.dirname(os.path.abspath(__file__)),
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
+
+    # build the doc store once at full parallelism so no leg pays
+    # derivation cost inside its session
+    subprocess.run(
+        [sys.executable, os.path.abspath(__file__)],
+        env=dict(
+            os.environ,
+            RAY_GRAFT_CPUS="32",
+            GRAFT_DOCS_REPLICAS=replicas,
+            GRAFT_PREPARE_ONLY="1",
+        ),
+        capture_output=True,
+        text=True,
+        check=True,
+        cwd=os.path.dirname(os.path.abspath(__file__)),
+    )
 
     # Two N->4N pairs on the same input: 2->8 and 8->32 cpus.  On this
     # sandbox box, all-core turbo + memory-bandwidth contention cap

@@ -299,21 +299,24 @@ def _schedule_round_driver(
     per-host admission → global sort + budget split).  Identical
     semantics to the distributed path; actor calls are batched and
     issued in parallel across shards."""
+    # dedup by url keeping max priority / min depth; host rides along
+    # ("min" of identical values) so it is never recomputed per row
     agg = frontier_table.group_by("url").aggregate(
-        [("priority", "max"), ("depth", "min")]
+        [("priority", "max"), ("depth", "min"), ("host", "min")]
     )
     urls = agg["url"].to_pylist()
     prios = agg["priority_max"].to_pylist()
     depths = agg["depth_min"].to_pylist()
+    hosts = agg["host_min"].to_pylist()
 
     seen = ShardedSeenFilter(bloom).probe(urls) if urls else []
-    cand = [
-        (u, p, d) for u, p, d, s in zip(urls, prios, depths, seen) if not s
-    ]
 
     by_host: Dict[str, list] = {}
-    for u, p, d in cand:
-        by_host.setdefault(host_of(u), []).append((u, p, d))
+    info = {}
+    for u, p, d, h, s in zip(urls, prios, depths, hosts, seen):
+        if not s:
+            info[u] = (p, d, h)
+            by_host.setdefault(h, []).append((u, p))
     # parallel batched admission: one in-flight call per host
     futs = {}
     for host, rows in by_host.items():
@@ -324,7 +327,6 @@ def _schedule_round_driver(
         )
     results = dict(zip(futs.keys(), ray.get(list(futs.values()))))
 
-    info = {u: (p, d) for u, p, d in cand}
     admitted, deferred = [], []
     n_denied = 0
     for host, (adm, dfr, den) in results.items():
@@ -343,7 +345,7 @@ def _schedule_round_driver(
         return pa.table(
             {
                 "url": pa.array([r[0] for r in rows], pa.string()),
-                "host": pa.array([host_of(r[0]) for r in rows], pa.string()),
+                "host": pa.array([r[3] for r in rows], pa.string()),
                 "priority": pa.array([r[1] for r in rows], pa.float64()),
                 "depth": pa.array([r[2] for r in rows], pa.int32()),
             }

@@ -43,8 +43,16 @@ def write_doc_store(
         )
         return batch.append_column("part", parts)
 
+    # write to a temp dir + atomic rename so an interrupted build never
+    # masquerades as a complete store
+    import shutil
+
+    tmp_dir = store_dir.rstrip("/") + ".tmp"
+    shutil.rmtree(tmp_dir, ignore_errors=True)
     with_part = docs.map_batches(add_part, batch_format="pyarrow")
-    with_part.write_parquet(store_dir, partition_cols=["part"])
+    with_part.write_parquet(tmp_dir, partition_cols=["part"])
+    shutil.rmtree(store_dir, ignore_errors=True)
+    os.rename(tmp_dir, store_dir)
 
 
 class DocStoreReader:

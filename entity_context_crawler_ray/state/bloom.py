@@ -97,7 +97,7 @@ class BloomShard:
         self.count = snap["count"]
 
 
-BloomShardActor = ray.remote(num_cpus=0.1)(BloomShard)
+BloomShardActor = ray.remote(num_cpus=0)(BloomShard)
 
 
 class ShardedSeenFilter:

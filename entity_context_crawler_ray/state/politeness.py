@@ -119,7 +119,7 @@ class PolitenessShard:
             pol.last_round = st["last_round"]
 
 
-PolitenessShardActor = ray.remote(num_cpus=0.1)(PolitenessShard)
+PolitenessShardActor = ray.remote(num_cpus=0)(PolitenessShard)
 
 
 def politeness_shard_of(host: str, num_shards: int) -> int:
