@@ -186,13 +186,15 @@ def run_bench() -> dict:
 def run_scaling() -> None:
     # more sustained work for the scaling comparison (same input at
     # both parallelism levels) unless the caller pinned a size
-    replicas = os.environ.get("GRAFT_DOCS_REPLICAS", "48")
+    replicas = os.environ.get("GRAFT_DOCS_REPLICAS", "24")
+    repeat = os.environ.get("GRAFT_TEXT_REPEAT", "25")
 
     def run(ncpu: int) -> dict:
         env = dict(
             os.environ,
             RAY_GRAFT_CPUS=str(ncpu),
             GRAFT_DOCS_REPLICAS=replicas,
+            GRAFT_TEXT_REPEAT=repeat,
             GRAFT_SKIP_QUERIES="1",
             GRAFT_SKIP_CONTEXTS="1",
         )
@@ -214,6 +216,7 @@ def run_scaling() -> None:
             os.environ,
             RAY_GRAFT_CPUS="32",
             GRAFT_DOCS_REPLICAS=replicas,
+            GRAFT_TEXT_REPEAT=repeat,
             GRAFT_PREPARE_ONLY="1",
         ),
         capture_output=True,

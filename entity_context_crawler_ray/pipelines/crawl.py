@@ -610,9 +610,15 @@ def crawl(
                         "src_depth": depths,
                     }
                 ).filter(pc.less(depths, pa.scalar(max_depth, pa.int32())))
-                # partial aggregate within the batch
+                # partial aggregate within the batch; target host is
+                # computed HERE (distributed) so the driver merge never
+                # hashes urls
                 agg = links.group_by("target").aggregate(
                     [("target", "count"), ("is_entity", "max"), ("src_depth", "min")]
+                )
+                agg = agg.append_column(
+                    "host",
+                    pa.array([host_of(u) for u in agg["target"].to_pylist()], pa.string()),
                 )
                 nf = pc.sum(pc.cast(out["fetched"], pa.int64())).as_py() or 0
                 stats = pa.table(
@@ -621,10 +627,11 @@ def crawl(
                         "target_count": pa.array([nf], pa.int64()),
                         "is_entity_max": pa.array([0], pa.int8()),
                         "src_depth_min": pa.array([0], pa.int32()),
+                        "host": pa.array([""], pa.string()),
                     }
                 )
                 agg = agg.select(
-                    ["target", "target_count", "is_entity_max", "src_depth_min"]
+                    ["target", "target_count", "is_entity_max", "src_depth_min", "host"]
                 ).cast(stats.schema)
                 return pa.concat_tables([agg, stats], promote_options="default")
 
@@ -651,6 +658,7 @@ def crawl(
                     ("target_count", "sum"),
                     ("is_entity_max", "max"),
                     ("src_depth_min", "min"),
+                    ("host", "min"),
                 ]
             )
             links_tbl = pa.table(
@@ -659,24 +667,26 @@ def crawl(
                     "target_count": _merged["target_count_sum"],
                     "is_entity_max": _merged["is_entity_max_max"],
                     "src_depth_min": _merged["src_depth_min_min"],
+                    "host": _merged["host_min"],
                 }
             )
             if links_tbl.num_rows:
                 la = links_tbl
-                urls = la["target"].to_pylist()
-                prio = [
-                    float(c) + config.entity_bonus * float(e)
-                    for c, e in zip(
-                        la["target_count"].to_pylist(), la["is_entity_max"].to_pylist()
-                    )
-                ]
+                prio = pc.add(
+                    pc.cast(la["target_count"], pa.float64()),
+                    pc.multiply(
+                        pc.cast(la["is_entity_max"], pa.float64()),
+                        pa.scalar(config.entity_bonus, pa.float64()),
+                    ),
+                )
                 new_frontier = pa.table(
                     {
-                        "url": pa.array(urls, pa.string()),
-                        "host": pa.array([host_of(u) for u in urls], pa.string()),
-                        "priority": pa.array(prio, pa.float64()),
-                        "depth": pa.array(
-                            [d + 1 for d in la["src_depth_min"].to_pylist()], pa.int32()
+                        "url": la["target"],
+                        "host": la["host"],
+                        "priority": prio,
+                        "depth": pc.cast(
+                            pc.add(la["src_depth_min"], pa.scalar(1, pa.int32())),
+                            pa.int32(),
                         ),
                     }
                 )
