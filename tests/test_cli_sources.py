@@ -1,0 +1,196 @@
+"""Tests for the reference-format sources (Wikipedia XML, entities
+JSON, mid2rid TXT), the wikitext spec, and the CLI — modeled on the
+reference's integration suite (reference
+tests/integration/test_suite.py: drives main(argv), asserts
+non-emptiness)."""
+
+import json
+import os
+import shutil
+import textwrap
+
+import pyarrow.parquet as pq
+import pytest
+import ray.data
+
+from entity_context_crawler_ray.__main__ import main
+from entity_context_crawler_ray.functions.wikitext import (
+    extract_wikilinks,
+    plain_text,
+)
+from entity_context_crawler_ray.sources.reference_inputs import (
+    load_entities_json,
+    load_mid2rid_txt,
+    normalize_page_url,
+)
+from entity_context_crawler_ray.sources.wikipedia_xml import (
+    WikipediaPages,
+    page_to_doc_row,
+    read_wikipedia_xml,
+)
+
+BASE = "/tmp/ecc_test_cli"
+
+WIKI_XML = textwrap.dedent(
+    """\
+    <mediawiki xmlns="http://www.mediawiki.org/xml/export-0.10/">
+      <page>
+        <title>Germany</title>
+        <revision><text>Germany is a big country in [[Europe]].
+    The capital of [[Germany|the country]] is [[Berlin]]. This longer sentence says Berlin is the capital and survives cleaning. Berlin also appears again in this long trailing sentence of text.
+    [[File:Map.png|Map of Germany]] {{Infobox|junk=1}}</text></revision>
+      </page>
+      <page>
+        <title>Talk:Germany</title>
+        <revision><text>namespace-skipped page</text></revision>
+      </page>
+      <page>
+        <title>Redirected</title>
+        <redirect title="Germany"/>
+        <revision><text>#REDIRECT [[Germany]]</text></revision>
+      </page>
+      <page>
+        <title>NoText</title>
+      </page>
+    </mediawiki>
+    """
+)
+
+
+@pytest.fixture(scope="module")
+def xml_path():
+    os.makedirs(BASE, exist_ok=True)
+    p = f"{BASE}/wiki.xml"
+    with open(p, "w") as fh:
+        fh.write(WIKI_XML)
+    return p
+
+
+def test_wikitext_spec():
+    markup = "See [[Berlin]] and [[Germany|the country]] plus [[File:X.png|cap]]."
+    assert extract_wikilinks(markup) == [
+        ("Berlin", ""),
+        ("Germany", "the country"),
+        ("File:X.png", "cap"),
+    ]
+    txt = plain_text("'''Bold''' {{tmpl|x}} [[Germany|country]] <ref>src</ref> end")
+    assert "Bold" in txt and "country" in txt
+    assert "{{" not in txt and "ref" not in txt and "'''" not in txt
+
+
+def test_wikipedia_pages_iterator(xml_path):
+    it = WikipediaPages(xml_path)
+    pages = list(it)
+    titles = [p["title"] for p in pages]
+    assert titles == ["Germany", "Redirected"]
+    assert it.skipped_special_pages == 1
+    assert it.missing_texts == 1
+    assert pages[1]["redirect"] == "Germany"
+    # limit_pages early stop counts raw <page> elements (reference
+    # util/wikipedia.py:42-43)
+    assert len(list(WikipediaPages(xml_path, limit_pages=1))) == 1
+
+
+def test_page_to_doc_row(xml_path):
+    page = next(iter(WikipediaPages(xml_path)))
+    row = page_to_doc_row(page["title"], page["text"])
+    kinds = [s["kind"] for s in row["spans"]]
+    assert "link" in kinds and "text" in kinds and "media" in kinds
+    offsets = [s["offset"] for s in row["spans"]]
+    assert offsets == sorted(offsets) and len(set(offsets)) == len(offsets)
+    link_targets = [s["media_ref"] for s in row["spans"] if s["kind"] == "link"]
+    assert "Europe" in link_targets and "Germany" in link_targets
+
+
+def test_reference_input_loaders(tmp_path):
+    entities = {
+        "/m/0abc": {"label": "Germany", "wikipedia": "http://en.wikipedia.org/wiki/Germany"},
+        "/m/0xyz": {"label": "Café", "wikipedia": "http://en.wikipedia.org/wiki/Caf%C3%A9_Nation"},
+        "/m/0empty": {"label": "NoPage", "wikipedia": ""},
+    }
+    jp = tmp_path / "entities.json"
+    jp.write_text(json.dumps(entities))
+    t = load_entities_json(str(jp))
+    by_id = dict(zip(t["entity_id"].to_pylist(), t["page_title"].to_pylist()))
+    assert by_id["/m/0abc"] == "Germany"
+    assert by_id["/m/0xyz"] == "Café Nation"  # percent-decode + underscore
+    assert by_id["/m/0empty"] == ""
+    assert normalize_page_url("") == ""
+
+    mp = tmp_path / "mid2rid.txt"
+    mp.write_text("mid rid\n/m/0abc 7\n/m/0xyz 68\n")
+    m = load_mid2rid_txt(str(mp))
+    assert dict(zip(m["entity_id"].to_pylist(), m["rid"].to_pylist())) == {
+        "/m/0abc": 7,
+        "/m/0xyz": 68,
+    }
+
+
+def test_cli_end_to_end(xml_path, tmp_path):
+    """XML -> matches store -> contexts store through main(argv),
+    asserting non-emptiness like the reference integration suite."""
+    entities = {
+        "/m/germany": {"label": "Germany", "wikipedia": "http://en.wikipedia.org/wiki/Germany"},
+        "/m/berlin": {"label": "Berlin", "wikipedia": "http://en.wikipedia.org/wiki/Berlin"},
+    }
+    jp = tmp_path / "entities.json"
+    jp.write_text(json.dumps(entities))
+    mp = tmp_path / "mid2rid.txt"
+    mp.write_text("mid rid\n/m/germany 1\n/m/berlin 2\n")
+
+    matches_dir = str(tmp_path / "matches_store")
+    assert (
+        main(["build-matches-db", xml_path, str(jp), matches_dir, "--limit-pages", "5"])
+        == 0
+    )
+    combined = pq.read_table(matches_dir)
+    assert combined.num_rows == 2  # Germany + Redirected
+    total_matches = sum(len(m) for m in combined["matches"].to_pylist())
+    assert total_matches > 0
+
+    ctx_dir = str(tmp_path / "contexts_store")
+    csv_path = str(tmp_path / "stats.csv")
+    assert (
+        main(
+            [
+                "build-contexts-db",
+                str(jp),
+                str(mp),
+                matches_dir,
+                ctx_dir,
+                "--context-size",
+                "120",
+                "--crop-sentences",
+                "--limit-contexts",
+                "100",
+                "--csv-file",
+                csv_path,
+            ]
+        )
+        == 0
+    )
+    ctx = pq.read_table(ctx_dir)
+    assert ctx.num_rows > 0
+    assert set(ctx.column_names) == {
+        "entity", "entity_label", "mention", "page_title", "context", "masked_context",
+    }
+    assert os.path.isfile(csv_path)
+    # rerun without --overwrite refuses
+    assert main(["build-contexts-db", str(jp), str(mp), matches_dir, ctx_dir]) == 1
+
+    # downstream readers (reference dao/contexts_db.py:39-95)
+    from entity_context_crawler_ray.pipelines.contexts_store import (
+        count_contexts,
+        select_contexts,
+        select_distinct_entities,
+    )
+
+    ents = select_distinct_entities(ctx_dir)
+    assert len(ents) >= 1
+    one = select_contexts(ctx_dir, ents[0], limit=2).to_pandas()
+    assert 1 <= len(one) <= 2 and (one["entity"] == ents[0]).all()
+    assert count_contexts(ctx_dir) == ctx.num_rows
+
+
+def test_cli_help():
+    assert main([]) == 0
