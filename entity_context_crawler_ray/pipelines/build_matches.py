@@ -108,6 +108,19 @@ def matches_view(combined: ray.data.Dataset) -> ray.data.Dataset:
     return combined.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def errors_view(combined: ray.data.Dataset) -> ray.data.Dataset:
+    """The errors side-output (M14, reference
+    cmd/build_matches_db.py:319-320 / :167-169): pages whose processing
+    raised (or whose fetch missed) — carried as data, not failures."""
+    return combined.map_batches(
+        lambda t: t.filter(pc.invert(pc.equal(t["error"], ""))).select(
+            ["title", "error"]
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
 def mentions_view(combined: ray.data.Dataset) -> ray.data.Dataset:
     """mentions table with exact dedup on (entity_id, mention)
     (reference UNIQUE constraint dao/matches_db.py:131).  Partial dedup
