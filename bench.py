@@ -62,7 +62,7 @@ def run_bench() -> dict:
     timings: dict = {}
 
     # --- setup (untimed): doc store derivation, cached across runs ------
-    tag = stable_hash64("bench", SF_DIR, REPLICAS, TEXT_REPEAT) % (1 << 32)
+    tag = stable_hash64("bench", SF_DIR, REPLICAS, TEXT_REPEAT, docsrc.DERIVATION_VERSION) % (1 << 32)
     base = f"/tmp/ecc_bench_{tag}"
     store = f"{base}/docstore"
     store_parts = 64

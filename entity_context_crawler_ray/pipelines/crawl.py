@@ -115,7 +115,11 @@ _WORKER_CACHE: Dict = {}
 
 
 def _fetch_state(store_dir: str, num_partitions: int, entities_ref, store_refs=None):
-    key = ("fetch", store_dir)
+    # key includes the broadcast identities: the same store crawled
+    # with different entity catalogs must not reuse a stale index
+    ref_key = entities_ref.hex() if hasattr(entities_ref, "hex") else id(entities_ref)
+    sref_key = store_refs.hex() if hasattr(store_refs, "hex") else id(store_refs)
+    key = ("fetch", store_dir, ref_key, sref_key)
     st = _WORKER_CACHE.get(key)
     if st is None:
         idx = (

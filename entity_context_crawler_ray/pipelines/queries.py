@@ -698,7 +698,7 @@ def ecc_crawl_log(sf_dir: str):
 
     from .crawl import CrawlConfig, crawl
 
-    tag = stable_hash64("qtag", sf_dir) % (1 << 32)
+    tag = stable_hash64("qtag", sf_dir, docsrc.DERIVATION_VERSION) % (1 << 32)
     base = f"/tmp/ecc_q_crawl_{tag}"
     store = f"{base}/docstore"
     if not os.path.isdir(store):

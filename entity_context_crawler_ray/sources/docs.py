@@ -58,6 +58,10 @@ SPAN_TYPE = pa.list_(
 
 DOCS_SCHEMA = pa.schema([("doc_id", pa.string()), ("spans", SPAN_TYPE)])
 
+# bump when the derivation rules change: cached /tmp doc stores keyed
+# by this version are regenerated instead of reused stale
+DERIVATION_VERSION = 3
+
 N_HOSTS = 16  # politeness host buckets; host = f"h{stable_hash64('host', doc_id) % N_HOSTS}"
 
 
