@@ -84,6 +84,7 @@ class CrawlConfig:
     host_budget: Dict[str, int] = field(default_factory=dict)   # host -> lifetime cap
     num_bloom_shards: int = 4
     bloom_bits: int = 1 << 22
+    seen_filter: str = "bloom"       # 'bloom' | 'cuckoo' (deletable)
     num_politeness_shards: int = 2
     hot_host_salt: int = 0           # >0 enables salted pre-truncation
     entity_bonus: float = 10.0
@@ -477,9 +478,15 @@ def crawl(
 
     os.makedirs(out_dir, exist_ok=True)
 
-    bloom = [
-        BloomShardActor.remote(config.bloom_bits) for _ in range(config.num_bloom_shards)
-    ]
+    if config.seen_filter == "cuckoo":
+        from ..state.cuckoo import CuckooShardActor
+
+        bloom = [CuckooShardActor.remote() for _ in range(config.num_bloom_shards)]
+    else:
+        bloom = [
+            BloomShardActor.remote(config.bloom_bits)
+            for _ in range(config.num_bloom_shards)
+        ]
     pol_cfg = {
         "capacity": config.capacity,
         "refill": config.refill,

@@ -219,3 +219,46 @@ def test_doc_store_lookup(store_and_inputs):
             (s["kind"], s["text"], s["media_ref"], s["offset"])
             for s in docs_local[d]
         ]
+
+
+def test_cuckoo_shard_basics():
+    from entity_context_crawler_ray.state.cuckoo import CuckooShard
+
+    c = CuckooShard(num_buckets=1 << 10)
+    urls = [f"u{i}" for i in range(500)]
+    assert c.probe(urls) == [False] * 500
+    c.set_seen(urls[:250])
+    probed = c.probe(urls)
+    assert probed[:250] == [True] * 250
+    assert sum(probed[250:]) <= 2  # tiny FP allowance
+    # idempotent insert, then delete support (the bloom can't do this)
+    c.set_seen(urls[:250])
+    assert c.delete("u0") and not c.contains("u0")
+    assert not c.delete("u0")
+    snap = c.snapshot()
+    c2 = CuckooShard(num_buckets=1 << 10)
+    c2.restore(snap)
+    assert c2.probe(urls[:10]) == c.probe(urls[:10])
+
+
+def test_crawl_with_cuckoo_filter(store_and_inputs):
+    """Same crawl, cuckoo seen-filter: identical fetch log."""
+    store, ref, docs_local, idx, seeds = store_and_inputs
+    kw = dict(
+        max_depth=1,
+        round_budget=40,
+        capacity=5,
+        refill=3,
+        num_bloom_shards=2,
+        num_politeness_shards=2,
+        doc_store_partitions=8,
+        max_rounds=40,
+    )
+    _, out_bloom = _run(store, ref, seeds, CrawlConfig(**kw), "bloomf")
+    _, out_cuckoo = _run(
+        store, ref, seeds, CrawlConfig(seen_filter="cuckoo", **kw), "cuckoof"
+    )
+    pd.testing.assert_frame_equal(
+        _read_fetch_log(out_bloom)[["round", "rank", "url"]],
+        _read_fetch_log(out_cuckoo)[["round", "rank", "url"]],
+    )
