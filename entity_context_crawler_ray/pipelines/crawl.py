@@ -58,7 +58,7 @@ import ray.data
 from ..functions.hashing import stable_hash64
 from ..sources.doc_store import DocStoreReader, PlasmaDocStoreReader, preload_doc_store
 from ..sources.docs import host_of
-from ..stages.match import COMBINED_SCHEMA, PageProcessor, process_doc
+from ..stages.match import COMBINED_SCHEMA, process_doc
 from ..state.bloom import BloomShardActor, ShardedSeenFilter
 from ..state.politeness import PolitenessShardActor, politeness_shard_of
 
@@ -89,7 +89,6 @@ class CrawlConfig:
     hot_host_salt: int = 0           # >0 enables salted pre-truncation
     entity_bonus: float = 10.0
     fetch_batch_size: int = 64
-    fetch_concurrency: int | tuple = 2
     doc_store_partitions: int = 32
     preload_store: bool = True       # pin partitions in plasma (zero-copy fetch)
     max_rounds: int = 64             # safety backstop
