@@ -262,3 +262,29 @@ def test_crawl_with_cuckoo_filter(store_and_inputs):
         _read_fetch_log(out_bloom)[["round", "rank", "url"]],
         _read_fetch_log(out_cuckoo)[["round", "rank", "url"]],
     )
+
+
+def test_crawl_depth2_matches_simulator(store_and_inputs):
+    """Deeper frontier (links of depth-1 pages followed too)."""
+    store, ref, docs_local, idx, seeds = store_and_inputs
+    cfg = CrawlConfig(
+        max_depth=2,
+        round_budget=60,
+        capacity=8,
+        refill=4,
+        num_bloom_shards=2,
+        num_politeness_shards=2,
+        doc_store_partitions=8,
+        max_rounds=60,
+    )
+    metrics, out = _run(store, ref, seeds, cfg, "depth2")
+    sim = simulate_crawl(
+        docs_local,
+        list(zip(seeds["url"].to_pylist(), seeds["priority"].to_pylist())),
+        idx["title_to_eid"],
+        cfg,
+    )
+    log = _read_fetch_log(out)
+    assert list(zip(log["round"], log["rank"], log["url"])) == sim["fetch_log"]
+    assert metrics["urls_fetched"] > 0
+    assert set(log["url"]) == sim["seen"]
