@@ -154,28 +154,60 @@ GROUP BY p_brand
 
 def q_revenue_by_nation(sf_dir: str):
     """The shuffle join (J2-class): orders ⋈ customer via the explicit
-    bucketed hash join, then broadcast nation, then aggregate."""
+    bucketed hash join, then broadcast nation, then aggregate.
+
+    Shuffle discipline: orders are PRE-AGGREGATED per custkey inside
+    map_batches + one small groupby BEFORE the join (the combiner
+    pattern, SURVEY.md §2.5 guidance) — the join then moves one row
+    per customer instead of one per order."""
     from ray.data.aggregate import Count, Sum
 
     orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
 
-    def to_cents(t: pa.Table) -> pa.Table:
-        return pa.table(
+    def partial(t: pa.Table) -> pa.Table:
+        # per-batch partial: sum cents + count per custkey
+        tt = pa.table(
             {"o_custkey": t["o_custkey"], "price_cents": _cents(t["o_totalprice"])}
         )
+        agg = tt.group_by("o_custkey").aggregate(
+            [("price_cents", "sum"), ("price_cents", "count")]
+        )
+        return pa.table(
+            {
+                "o_custkey": agg["o_custkey"],
+                "cents": agg["price_cents_sum"],
+                "n": pc.cast(agg["price_cents_count"], pa.int64()),
+            }
+        )
 
-    orders = orders.map_batches(to_cents, batch_format="pyarrow")
+    # per-batch partials only — no global pre-join groupby: the final
+    # aggregate sums partials correctly, and the join already moves
+    # ~one row per (customer, batch) instead of one per order
+    per_cust = orders.map_batches(partial, batch_format="pyarrow")
     customer = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
-    joined = relational.hash_join_bucketed(
-        orders, customer, on="o_custkey", right_on="c_custkey", num_buckets=16
+    joined = relational.hash_join(
+        per_cust, customer, on="o_custkey", right_on="c_custkey", num_partitions=16
     )
     nation = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
     with_nation = relational.broadcast_inner_join(
         joined, nation, on="c_nationkey", right_on="n_nationkey"
     )
-    out = with_nation.groupby("n_name").aggregate(
-        Sum("price_cents", alias_name="sum_totalprice_cents"),
-        Count(alias_name="n_orders"),
+
+    def nation_partial(df: pd.DataFrame) -> pd.DataFrame:
+        # combiner: collapse each batch to ≤25 nation rows before the
+        # final (tiny) grouped aggregate
+        g = df.groupby("n_name", as_index=False).agg(
+            cents=("cents", "sum"), n=("n", "sum")
+        )
+        return g
+
+    out = (
+        with_nation.map_batches(nation_partial, batch_format="pandas")
+        .groupby("n_name")
+        .aggregate(
+            Sum("cents", alias_name="sum_totalprice_cents"),
+            Sum("n", alias_name="n_orders"),
+        )
     )
 
     def cast_cols(t: pa.Table) -> pa.Table:

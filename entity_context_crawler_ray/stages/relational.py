@@ -121,6 +121,26 @@ def hash_join_bucketed(
     )
 
 
+def hash_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    on: str,
+    right_on: Optional[str] = None,
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """Distributed hash join via the native ``Dataset.join``
+    (hash-partitioned on the key) — the production path; the explicit
+    ``hash_join_bucketed`` above is the portable pattern for engines
+    without a native join and documents the exchange."""
+    return left.join(
+        right,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=(on,),
+        right_on=((right_on or on),),
+    )
+
+
 def dedup_first(
     ds: ray.data.Dataset,
     keys: Sequence[str],
