@@ -187,7 +187,7 @@ def run_scaling() -> None:
     # more sustained work for the scaling comparison (same input at
     # both parallelism levels) unless the caller pinned a size
     replicas = os.environ.get("GRAFT_DOCS_REPLICAS", "24")
-    repeat = os.environ.get("GRAFT_TEXT_REPEAT", "40")
+    repeat = os.environ.get("GRAFT_TEXT_REPEAT", "60")
 
     def run(ncpu: int) -> dict:
         env = dict(
