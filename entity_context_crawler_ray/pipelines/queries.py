@@ -764,6 +764,14 @@ def ecc_crawl_log(sf_dir: str):
 # sketch / multimodal / ANN extras (rows-only checks; unit-tested)
 
 
+def q_embedding_neardup_lsh(sf_dir: str):
+    """Scale-path ANN near-dup: sign-LSH bucket groupby, exact
+    within-bucket pairwise (approximate recall; rows-only check —
+    recall vs the exact variant is unit-tested)."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return dedup.embedding_neardup_lsh(ds, threshold=0.40, n_bits=4)
+
+
 def q_minhash_neardup(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     pairs = dedup.minhash_candidates(ds, num_perm=64, bands=16)
@@ -827,6 +835,7 @@ def queries() -> Dict[str, Callable]:
         "ecc_crawl_log": ecc_crawl_log,
         # sketches / ANN / multimodal (rows-only; unit-tested)
         "q_minhash_neardup": q_minhash_neardup,
+        "q_embedding_neardup_lsh": q_embedding_neardup_lsh,
         "q_simhash": q_simhash,
         "q_knn_ivf": q_knn_ivf,
         "q_media_decode": q_media_decode,

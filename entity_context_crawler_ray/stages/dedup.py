@@ -232,6 +232,72 @@ def verify_jaccard_pairs(
 # --- embedding near-dup ---------------------------------------------------
 
 
+def embedding_neardup_lsh(
+    embeddings: ray.data.Dataset,
+    threshold: float = 0.95,
+    n_bits: int = 8,
+    seed: int = 42,
+) -> ray.data.Dataset:
+    """Scale-path near-dup: sign-LSH bucket each vector (map_batches),
+    co-locate buckets with one groupby, compute exact pairwise cosine
+    WITHIN each bucket.  Approximate: a pair split across buckets is
+    missed — for cosine ≥ t the collision probability per plane is
+    1 − arccos(t)/π (≈0.9 at t=0.95), so recall ≈ 0.9^n_bits per
+    band; raise recall with fewer bits or multiple seeds (union of
+    passes), trade against bucket size."""
+    import numpy as np
+
+    from .similarity import SignLSH, _normalize
+
+    state = {}
+
+    def assign(batch: pa.Table) -> pa.Table:
+        mat = np.stack(batch["embedding"].to_pylist()).astype(np.float64)
+        if "lsh" not in state:
+            state["lsh"] = SignLSH(mat.shape[1], n_bits, seed)
+        buckets = state["lsh"].bucket(_normalize(mat))
+        return pa.table(
+            {
+                "vec_id": batch["vec_id"],
+                "embedding": batch["embedding"],
+                "bucket": pa.array(buckets.tolist(), pa.int64()),
+            }
+        )
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame(
+                {"vec_id_a": pd.Series(dtype="int64"),
+                 "vec_id_b": pd.Series(dtype="int64"),
+                 "cosine": pd.Series(dtype="float64")}
+            )
+        ids = g["vec_id"].to_numpy()
+        mat = np.stack(g["embedding"].to_numpy()).astype(np.float64)
+        mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        sims = mat @ mat.T
+        out = []
+        n = len(ids)
+        for i in range(n):
+            for j in range(i + 1, n):
+                if sims[i, j] >= threshold:
+                    a, b = int(ids[i]), int(ids[j])
+                    if a > b:
+                        a, b = b, a
+                    out.append((a, b, float(sims[i, j])))
+        return pd.DataFrame(out, columns=["vec_id_a", "vec_id_b", "cosine"]) if out else pd.DataFrame(
+            {"vec_id_a": pd.Series(dtype="int64"),
+             "vec_id_b": pd.Series(dtype="int64"),
+             "cosine": pd.Series(dtype="float64")}
+        )
+
+    return (
+        embeddings.select_columns(["vec_id", "embedding"])
+        .map_batches(assign, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(bucket_pairs, batch_format="pandas")
+    )
+
+
 def embedding_neardup_pairs(
     embeddings: ray.data.Dataset, threshold: float = 0.95
 ) -> ray.data.Dataset:

@@ -201,3 +201,17 @@ def test_media_decode_stub():
     # the non-fake path must fail loudly at the kernel
     with pytest.raises(NotImplementedError):
         media.MediaDecoder(fake=False)._decode_one("media://x")
+
+
+def test_embedding_neardup_lsh_recall():
+    """The LSH-bucketed variant finds the overwhelming share of what
+    the exact variant finds (same threshold), and no false positives."""
+    ds, _ = _emb_ds(n=200, dim=8)
+    exact = dedup.embedding_neardup_pairs(ds, threshold=0.85).to_pandas()
+    approx = dedup.embedding_neardup_lsh(ds, threshold=0.85, n_bits=4).to_pandas()
+    exact_pairs = set(map(tuple, exact[["vec_id_a", "vec_id_b"]].to_numpy()))
+    approx_pairs = set(map(tuple, approx[["vec_id_a", "vec_id_b"]].to_numpy()))
+    assert approx_pairs <= exact_pairs  # within-bucket cosine is exact
+    if exact_pairs:
+        recall = len(approx_pairs & exact_pairs) / len(exact_pairs)
+        assert recall >= 0.5
