@@ -153,13 +153,14 @@ GROUP BY p_brand
 
 
 def q_revenue_by_nation(sf_dir: str):
-    """The shuffle join (J2-class): orders ⋈ customer via the explicit
-    bucketed hash join, then broadcast nation, then aggregate.
+    """The shuffle join (J2-class): orders ⋈ customer via the native
+    hash-partitioned join (the explicit bucketed pattern lives in
+    relational.hash_join_bucketed, unit-tested), then broadcast
+    nation, then aggregate.
 
-    Shuffle discipline: orders are PRE-AGGREGATED per custkey inside
-    map_batches + one small groupby BEFORE the join (the combiner
-    pattern, SURVEY.md §2.5 guidance) — the join then moves one row
-    per customer instead of one per order."""
+    Shuffle discipline: per-batch combiners on BOTH sides of the
+    shuffles (per-custkey partials before the join, per-nation
+    partials before the final aggregate) — SURVEY.md §2.5 guidance."""
     from ray.data.aggregate import Count, Sum
 
     orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
