@@ -170,7 +170,6 @@ def cmd_crawl(args) -> int:
 
     from .pipelines.crawl import CrawlConfig, crawl
     from .sources.docs import entities_index
-    from .sources.doc_store import DEFAULT_PARTITIONS
 
     entities = _read_entities(args.entities)
     ref = ray.put(entities_index(entities))

@@ -42,7 +42,6 @@ tests/crawl_sim reproduces):
 from __future__ import annotations
 
 import hashlib
-import json
 import os
 import time
 from dataclasses import dataclass, field

@@ -13,7 +13,7 @@ scale)."""
 from __future__ import annotations
 
 import os
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Tuple
 
 import pyarrow as pa
 import pyarrow.parquet as pq

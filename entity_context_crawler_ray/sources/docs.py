@@ -36,14 +36,13 @@ fixture).
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional
+from typing import Dict, List
 
 import pyarrow as pa
 import pyarrow.parquet as pq
 import ray.data
 
 from ..functions.hashing import stable_hash64
-from ..functions.text import split_sentences
 
 SPAN_TYPE = pa.list_(
     pa.struct(

@@ -28,13 +28,12 @@ from typing import Dict, Iterator, List, Optional
 import pyarrow as pa
 import ray.data
 
-from ..functions.text import split_sentences
 from ..functions.wikitext import (
     MEDIA_PREFIXES,
     extract_wikilinks,
     plain_text,
 )
-from .docs import DOCS_SCHEMA, SPAN_TYPE
+from .docs import DOCS_SCHEMA
 
 # reference util/wikipedia.py:66-75
 SKIP_NAMESPACES = (

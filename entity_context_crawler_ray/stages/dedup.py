@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import hashlib
 import re
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List
 
 import numpy as np
 import pandas as pd
@@ -21,7 +21,6 @@ import ray
 import ray.data
 
 from ..functions.hashing import minhash_params, minhash_signature, stable_hash64
-from ..functions.text import TOKEN_PATTERN
 
 _WORD_RE = re.compile(r"[A-Za-z0-9_]+")
 

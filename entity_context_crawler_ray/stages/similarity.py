@@ -13,7 +13,7 @@ All math in float64 for cross-engine determinism vs the DuckDB
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence
+from typing import Sequence
 
 import numpy as np
 import pyarrow as pa
