@@ -41,6 +41,7 @@ def run_bench() -> dict:
         include_dashboard=False,
         ignore_reinit_error=True,
         logging_level="ERROR",
+        log_to_driver=False,  # keep stdout = exactly one JSON line
     )
     from ray.data import DataContext
 
