@@ -17,6 +17,7 @@ from typing import Dict, List
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data
 
@@ -168,11 +169,21 @@ class MinHashLSH:
 
 
 def minhash_candidates(
-    documents: ray.data.Dataset, num_perm: int = 64, bands: int = 16, shingle_n: int = 3
+    documents: ray.data.Dataset,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    pair_dedup: str = "driver",
 ) -> ray.data.Dataset:
     """Candidate near-dup pairs via LSH banding: shingle→minhash→band
     rows (map_batches) → groupby(band) → within-bucket pairs, deduped
-    globally on (a, b)."""
+    globally on (a, b).
+
+    ``pair_dedup``: candidates are a tiny fraction of the corpus by
+    design, so the default dedups them on the driver (one pyarrow
+    group_by — saves a whole distributed sort); pass "distributed"
+    to keep the dedup as a Ray groupby when the candidate set itself
+    is huge (pathological near-dup-heavy corpora)."""
     band_rows = documents.map_batches(
         MinHashLSH(num_perm, bands, shingle_n), batch_format="pyarrow"
     )
@@ -190,9 +201,16 @@ def minhash_candidates(
         bucket_pairs, batch_format="pandas"
     )
     # a pair can surface from several bands: exact dedup on the pair key
-    return pairs.groupby(["a", "b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
+    if pair_dedup == "distributed":
+        return pairs.groupby(["a", "b"]).map_groups(
+            lambda g: g.head(1), batch_format="pandas"
+        )
+    tbl = pa.concat_tables(
+        ray.get(pairs.to_arrow_refs()), promote_options="default"
     )
+    if tbl.num_rows:
+        tbl = tbl.group_by(["a", "b"]).aggregate([]).select(["a", "b"])
+    return ray.data.from_arrow(tbl)
 
 
 def verify_jaccard_pairs(
@@ -201,31 +219,57 @@ def verify_jaccard_pairs(
     threshold: float,
     shingle_n: int = 3,
 ) -> ray.data.Dataset:
-    """Verify candidate pairs by true Jaccard.  The doc shingle sets are
-    broadcast via ray.put (small side at sandbox scale; at 100 TB this
-    becomes a co-group of pairs with docs repartitioned by doc_id —
-    candidates after LSH are a tiny fraction of the corpus)."""
-    shingles: Dict = {}
-    for row in documents.select_columns(["doc_id", "text"]).iter_rows():
-        shingles[row["doc_id"]] = set(word_shingles(row["text"], shingle_n))
-    ref = ray.put(shingles)
+    """Verify candidate pairs by true Jaccard.
 
-    def verify(t: pa.Table) -> pa.Table:
-        sh = ray.get(ref)
-        a_ids = t["a"].to_pylist()
-        b_ids = t["b"].to_pylist()
-        sims = [jaccard(sh[a], sh[b]) for a, b in zip(a_ids, b_ids)]
-        keep = [s >= threshold for s in sims]
-        out = pa.table(
-            {
-                "a": t["a"],
-                "b": t["b"],
-                "jaccard": pa.array(sims, pa.float64()),
-            }
+    Only the docs that actually appear in a candidate pair are read
+    back (vectorized ``is_in`` filter, column-pruned) — candidates
+    after LSH are a tiny fraction of the corpus, so shingling happens
+    on that fraction only.  At 100 TB the same shape becomes a
+    co-group of pairs with the filtered docs, repartitioned by
+    doc_id."""
+    pair_tbl = pa.concat_tables(
+        ray.get(pairs.to_arrow_refs()), promote_options="default"
+    )
+    if pair_tbl.num_rows == 0:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "a": pa.array([], pa.int64()),
+                    "b": pa.array([], pa.int64()),
+                    "jaccard": pa.array([], pa.float64()),
+                }
+            )
         )
-        return out.filter(pa.array(keep))
+    needed = pa.concat_arrays(
+        [pair_tbl["a"].combine_chunks(), pair_tbl["b"].combine_chunks()]
+    ).unique()
 
-    return pairs.map_batches(verify, batch_format="pyarrow")
+    def filt(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t["doc_id"], value_set=needed))
+
+    docs_tbl = pa.concat_tables(
+        ray.get(
+            documents.select_columns(["doc_id", "text"])
+            .map_batches(filt, batch_format="pyarrow")
+            .to_arrow_refs()
+        ),
+        promote_options="default",
+    )
+    shingles: Dict = {
+        d: set(word_shingles(t, shingle_n))
+        for d, t in zip(docs_tbl["doc_id"].to_pylist(), docs_tbl["text"].to_pylist())
+    }
+    a_ids = pair_tbl["a"].to_pylist()
+    b_ids = pair_tbl["b"].to_pylist()
+    sims = [jaccard(shingles[a], shingles[b]) for a, b in zip(a_ids, b_ids)]
+    out = pa.table(
+        {
+            "a": pair_tbl["a"],
+            "b": pair_tbl["b"],
+            "jaccard": pa.array(sims, pa.float64()),
+        }
+    ).filter(pa.array([s >= threshold for s in sims]))
+    return ray.data.from_arrow(out)
 
 
 # --- embedding near-dup ---------------------------------------------------
