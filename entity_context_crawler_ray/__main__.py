@@ -161,7 +161,9 @@ def cmd_crawl(args) -> int:
     if not os.path.isdir(args.docstore):
         print("doc store not found")
         return 1
-    if not _guard_output(args.out, args.overwrite):
+    # --resume continues INTO the existing output dir; the overwrite
+    # guard only applies to fresh runs
+    if not args.resume and not _guard_output(args.out, args.overwrite):
         return 1
     _ensure_ray()
     import json
@@ -178,7 +180,7 @@ def cmd_crawl(args) -> int:
     seeds = pa.table(
         {"url": pa.array(titles), "priority": pa.array([1.0] * len(titles))}
     )
-    cfg = CrawlConfig(
+    cfg_kw = dict(
         max_depth=args.max_depth,
         round_budget=args.round_budget,
         capacity=args.capacity,
@@ -186,6 +188,9 @@ def cmd_crawl(args) -> int:
         doc_store_partitions=args.partitions,
         max_rounds=args.max_rounds,
     )
+    if args.driver_threshold is not None:
+        cfg_kw["driver_threshold"] = args.driver_threshold
+    cfg = CrawlConfig(**cfg_kw)
     metrics = crawl(
         args.docstore,
         seeds,
@@ -237,6 +242,14 @@ def main(argv: Optional[List[str]] = None) -> int:
     p3.add_argument("--ckpt-dir", default=None)
     p3.add_argument("--resume", action="store_true")
     p3.add_argument("--overwrite", action="store_true")
+    p3.add_argument(
+        "--driver-threshold",
+        dest="driver_threshold",
+        type=int,
+        default=None,
+        help="frontier rows above which scheduling switches to the "
+        "bucketed on-storage path (0 = always bucketed)",
+    )
 
     args = parser.parse_args(argv)
     if args.command == "build-matches-db":

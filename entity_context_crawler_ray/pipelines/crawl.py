@@ -43,11 +43,11 @@ from __future__ import annotations
 
 import hashlib
 import os
+import shutil
 import time
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional
 
-import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
@@ -93,13 +93,21 @@ class CrawlConfig:
     max_rounds: int = 64             # safety backstop
     # Rounds whose frontier fits under this many rows schedule on the
     # driver with pure pyarrow + batched parallel actor calls — the
-    # same semantics (tested against the distributed path and the
+    # same semantics (tested against the bucketed path and the
     # simulator), without paying per-round Dataset task overhead for
-    # kilobyte-sized bookkeeping.  Fetch+extract (the heavy stage) is
-    # distributed in both regimes; bloom/politeness actors remain the
-    # authoritative state in both.  Set to 0 to force the distributed
-    # scheduling path (what a 10^10-URL frontier would exercise).
-    driver_threshold: int = 1_000_000
+    # kilobyte-sized bookkeeping.  Larger frontiers switch to the
+    # BUCKETED path: the frontier lives as per-bucket parquet on shared
+    # storage between rounds, never in driver memory.  Fetch+extract
+    # (the heavy stage) is distributed in both regimes; bloom and
+    # politeness actors remain the authoritative state in both.  Set to
+    # 0 to force the bucketed path (what a 10^10-URL frontier runs).
+    driver_threshold: int = 100_000
+    # bucketed-frontier fan-out: num_politeness_shards × this many
+    # buckets (each bucket is one schedule task; scale with the cluster)
+    frontier_buckets_per_shard: int = 8
+
+    def num_frontier_buckets(self) -> int:
+        return self.num_politeness_shards * self.frontier_buckets_per_shard
 
 
 # Worker-process-global cache: the crawl loop launches a fresh Dataset
@@ -196,93 +204,397 @@ class FetchExtract:
         return t
 
 
-def make_probe_filter(handles):
-    """map_batches task fn: drop urls the bloom filter reports seen."""
+# --------------------------------------------------------------------------
+# Bucketed frontier (the 10^10-URL path).  The frontier between rounds
+# is NOT driver state: it is a directory of per-bucket parquet files
+# (``out_dir/frontier/round=r/bucket=b/*.parquet``), bucketed by
+# hash(host) at WRITE time by whoever produces candidates — the
+# admission tasks (deferrals), the fused fetch tasks (out-link
+# partials) and the driver (global-budget spill).  Because the shuffle
+# happens at write time, round scheduling needs NO runtime all-to-all:
+# one map task per bucket reads its own files, combines/dedups them
+# with Arrow group_bys, probes the bloom shards, issues ONE batched
+# admission call to its politeness shard (bucket % num_shards ==
+# politeness_shard_of(host) by construction), writes its deferrals
+# straight back to the next round's bucket dir, and returns only its
+# locally-top-``round_budget`` admitted rows.  The driver transiently
+# holds at most num_buckets × round_budget admitted rows for the
+# global (priority desc, url) merge — never the frontier itself.
+#
+# Every file name is deterministic in (round, bucket, producer), so a
+# resumed/retried round overwrites its own files instead of
+# duplicating rows.
 
-    def probe_filter(batch: pa.Table) -> pa.Table:
-        urls = batch["url"].to_pylist()
-        if not urls:
-            return batch
-        seen = ShardedSeenFilter(handles).probe(urls)
-        return batch.filter(pa.array([not s for s in seen]))
-
-    return probe_filter
-
-
-def make_mark_seen(handles):
-    """map_batches task fn: mark every url seen (idempotent bit-OR)."""
-
-    def mark_seen(batch: pa.Table) -> pa.Table:
-        urls = batch["url"].to_pylist()
-        if urls:
-            ShardedSeenFilter(handles).set_seen(urls)
-        return batch
-
-    return mark_seen
+CANDIDATE_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("host", pa.string()),
+        ("priority", pa.float64()),   # final rows only (partial rows: 0)
+        ("depth", pa.int32()),
+        ("partial_count", pa.int64()),  # -1 = final row; >=0 = in-degree partial
+        ("is_entity", pa.int8()),
+    ]
+)
 
 
-def _frontier_dedup(frontier: ray.data.Dataset) -> ray.data.Dataset:
-    """Dedup candidates by url: max priority, min depth (host rederived)."""
-    from ray.data.aggregate import Max, Min
+def frontier_bucket_of(host: str, num_buckets: int, num_shards: int) -> int:
+    """Bucket by host so (a) every copy of a url lands in one bucket
+    (same url -> same host) and (b) bucket % num_shards ==
+    politeness_shard_of(host) — each bucket talks to exactly ONE
+    politeness shard."""
+    s = politeness_shard_of(host, num_shards)
+    sub = stable_hash64("frontier-bucket", host) % max(num_buckets // num_shards, 1)
+    return sub * num_shards + s
 
-    agg = frontier.groupby("url").aggregate(
-        Max("priority", alias_name="priority"), Min("depth", alias_name="depth")
+
+def _frontier_round_dir(out_dir: str, round_id: int) -> str:
+    return os.path.join(out_dir, "frontier", f"round={round_id}")
+
+
+def _as_candidates(t: pa.Table) -> pa.Table:
+    """FRONTIER_SCHEMA rows -> CANDIDATE_SCHEMA final rows."""
+    n = t.num_rows
+    return pa.table(
+        {
+            "url": t["url"],
+            "host": t["host"],
+            "priority": t["priority"],
+            "depth": t["depth"],
+            "partial_count": pa.array([-1] * n, pa.int64()),
+            "is_entity": pa.array([0] * n, pa.int8()),
+        }
     )
 
-    def add_host(t: pa.Table) -> pa.Table:
-        hosts = pa.array([host_of(u) for u in t["url"].to_pylist()], pa.string())
-        return t.append_column("host", hosts)
 
-    return agg.map_batches(add_host, batch_format="pyarrow")
+def _combine_candidates(t: pa.Table, entity_bonus: float) -> pa.Table:
+    """Dedup candidate rows by url -> FRONTIER_SCHEMA.
 
-
-def _make_admit_fn(handles, round_id: int, salt_truncated: bool):
-    def admit(g: pd.DataFrame) -> pd.DataFrame:
-        if g.empty:
-            g = g.assign(status=pd.Series(dtype=object))
-            return g
-        host = g["host"].iloc[0]
-        g = g.sort_values(["priority", "url"], ascending=[False, True])
-        shard = politeness_shard_of(host, len(handles))
-        admitted, deferred, denied = ray.get(
-            handles[shard].admit.remote(round_id, host, g["url"].tolist())
+    Link in-degree partials for the same url are SUMMED (priority =
+    total count + bonus·max(is_entity)); final rows take max(priority);
+    across both, max(priority) / min(depth) — exactly the driver
+    path's merge semantics, expressed as three Arrow group_bys."""
+    if t.num_rows == 0:
+        return _EMPTY_FRONTIER
+    final_mask = pc.less(t["partial_count"], 0)
+    finals = t.filter(final_mask)
+    partials = t.filter(pc.invert(final_mask))
+    parts: List[pa.Table] = []
+    if finals.num_rows:
+        fa = finals.group_by("url").aggregate(
+            [("priority", "max"), ("depth", "min"), ("host", "min")]
         )
-        status = {}
-        for u in admitted:
-            status[u] = "admit"
-        for u in deferred:
-            status[u] = "defer"
-        for u in denied:
-            status[u] = "deny"
-        g = g.assign(status=g["url"].map(status))
-        return g
-
-    return admit
-
-
-def _make_salt_truncate_fn(capacity: int, deny: Dict[str, List[str]]):
-    """Per (host, salt) bucket: robots-deny locally, keep top-capacity
-    by (priority desc, url); the rest is deferred without touching the
-    politeness actor (global top-capacity ⊆ union of bucket top-capacity)."""
-
-    def truncate(g: pd.DataFrame) -> pd.DataFrame:
-        if g.empty:
-            return g.assign(status=pd.Series(dtype=object)).drop(columns=["salt"])
-        host = g["host"].iloc[0]
-        prefixes = tuple(deny.get(host, ()))
-        g = g.sort_values(["priority", "url"], ascending=[False, True])
-        denied_mask = (
-            g["url"].map(lambda u: any(u.startswith(p) for p in prefixes))
-            if prefixes
-            else pd.Series(False, index=g.index)
+        parts.append(
+            pa.table(
+                {
+                    "url": fa["url"],
+                    "host": fa["host_min"],
+                    "priority": fa["priority_max"],
+                    "depth": fa["depth_min"],
+                }
+            ).cast(FRONTIER_SCHEMA)
         )
-        denied = g[denied_mask].assign(status="deny")
-        ok = g[~denied_mask]
-        kept = ok.head(capacity).assign(status=None)
-        deferred = ok.iloc[capacity:].assign(status="defer")
-        return pd.concat([kept, deferred, denied]).drop(columns=["salt"])
+    if partials.num_rows:
+        pagg = partials.group_by("url").aggregate(
+            [("partial_count", "sum"), ("is_entity", "max"), ("depth", "min"), ("host", "min")]
+        )
+        prio = pc.add(
+            pc.cast(pagg["partial_count_sum"], pa.float64()),
+            pc.multiply(
+                pc.cast(pagg["is_entity_max"], pa.float64()),
+                pa.scalar(float(entity_bonus), pa.float64()),
+            ),
+        )
+        parts.append(
+            pa.table(
+                {
+                    "url": pagg["url"],
+                    "host": pagg["host_min"],
+                    "priority": prio,
+                    "depth": pagg["depth_min"],
+                }
+            ).cast(FRONTIER_SCHEMA)
+        )
+    merged = pa.concat_tables(parts)
+    if len(parts) == 2:
+        ma = merged.group_by("url").aggregate(
+            [("priority", "max"), ("depth", "min"), ("host", "min")]
+        )
+        merged = pa.table(
+            {
+                "url": ma["url"],
+                "host": ma["host_min"],
+                "priority": ma["priority_max"],
+                "depth": ma["depth_min"],
+            }
+        ).cast(FRONTIER_SCHEMA)
+    return merged
 
-    return truncate
+
+def _write_bucketed(
+    cand: pa.Table, next_dir: str, fname: str, num_buckets: int, num_shards: int
+) -> int:
+    """Partition CANDIDATE_SCHEMA rows by frontier bucket and write one
+    ``bucket=b/{fname}.parquet`` per touched bucket (deterministic name
+    -> retry-idempotent).  Returns rows written."""
+    if cand.num_rows == 0:
+        return 0
+    buckets = pa.array(
+        [
+            frontier_bucket_of(h, num_buckets, num_shards)
+            for h in cand["host"].to_pylist()
+        ],
+        pa.int32(),
+    )
+    for b in pc.unique(buckets).to_pylist():
+        sub = cand.filter(pc.equal(buckets, b))
+        bdir = os.path.join(next_dir, f"bucket={b}")
+        os.makedirs(bdir, exist_ok=True)
+        pq.write_table(sub, os.path.join(bdir, f"{fname}.parquet"))
+    return cand.num_rows
+
+
+_SCHED_MARKER_COLS = ["n_denied", "n_admitted", "n_deferred"]
+
+
+def _make_bucket_scheduler(
+    in_dir: str, next_dir: str, bloom, politeness, config: CrawlConfig, round_id: int
+):
+    """One task per frontier bucket: read -> combine -> probe -> admit
+    (ONE politeness call) -> defer-write -> local top-budget truncate.
+    Emits admitted rows plus one counter marker row (url = null)."""
+    num_shards = config.num_politeness_shards
+
+    def schedule_bucket(batch: pa.Table) -> pa.Table:
+        import glob as _glob
+
+        out: List[pa.Table] = []
+        for b in batch["bucket"].to_pylist():
+            files = sorted(
+                _glob.glob(os.path.join(in_dir, f"bucket={b}", "*.parquet"))
+            )
+            if not files:
+                continue
+            raw = pa.concat_tables([pq.read_table(f) for f in files])
+            cand = _combine_candidates(raw, config.entity_bonus)
+            if cand.num_rows:
+                unseen = ShardedSeenFilter(bloom).probe(cand["url"].to_pylist())
+                cand = cand.filter(pa.array([not s for s in unseen]))
+            n_denied = 0
+            n_deferred = 0
+            n_admitted = 0
+            admit_parts: List[pa.Table] = []
+            defer_parts: List[pa.Table] = []
+            if cand.num_rows:
+                idx = pc.sort_indices(
+                    cand,
+                    sort_keys=[
+                        ("host", "ascending"),
+                        ("priority", "descending"),
+                        ("url", "ascending"),
+                    ],
+                )
+                cand = cand.take(idx)
+                hosts = cand["host"].to_pylist()
+                # contiguous host runs
+                runs: List[tuple] = []
+                start = 0
+                for i in range(1, len(hosts) + 1):
+                    if i == len(hosts) or hosts[i] != hosts[start]:
+                        runs.append((hosts[start], start, i))
+                        start = i
+                urls = cand["url"].to_pylist()
+                run_hosts: List[str] = []
+                run_urls: List[List[str]] = []
+                pre_defer_idx: List[int] = []
+                pre_deny = 0
+                admit_idx_lists: List[List[int]] = []
+                if config.hot_host_salt > 0:
+                    # hot-host pre-truncation: robots-deny locally, keep
+                    # only the per-host top-capacity for the admission
+                    # call (global top-tokens ⊆ per-host top-capacity),
+                    # defer the tail without touching the actor
+                    for host, s, e in runs:
+                        prefixes = tuple(config.deny.get(host, ()))
+                        kept: List[int] = []
+                        for i in range(s, e):
+                            if prefixes and any(urls[i].startswith(p) for p in prefixes):
+                                pre_deny += 1
+                            elif len(kept) < config.capacity:
+                                kept.append(i)
+                            else:
+                                pre_defer_idx.append(i)
+                        if kept:
+                            run_hosts.append(host)
+                            run_urls.append([urls[i] for i in kept])
+                            admit_idx_lists.append(kept)
+                else:
+                    for host, s, e in runs:
+                        run_hosts.append(host)
+                        run_urls.append(urls[s:e])
+                        admit_idx_lists.append(list(range(s, e)))
+                statuses = (
+                    ray.get(
+                        politeness[b % num_shards].admit_many.remote(
+                            round_id, run_hosts, run_urls
+                        )
+                    )
+                    if run_hosts
+                    else []
+                )
+                admit_i: List[int] = []
+                defer_i: List[int] = list(pre_defer_idx)
+                n_denied = pre_deny
+                for idxs, stats in zip(admit_idx_lists, statuses):
+                    for i, st in zip(idxs, stats):
+                        if st == "admit":
+                            admit_i.append(i)
+                        elif st == "defer":
+                            defer_i.append(i)
+                        else:
+                            n_denied += 1
+                n_admitted = len(admit_i)
+                admitted = cand.take(pa.array(admit_i, pa.int64()))
+                # local truncate: rows beyond the bucket's own top
+                # round_budget cannot make the global top, so defer AND
+                # refund them here (source-tagged so the driver's
+                # global-cut refund still lands)
+                if admitted.num_rows > config.round_budget:
+                    order = pc.sort_indices(
+                        admitted,
+                        sort_keys=[("priority", "descending"), ("url", "ascending")],
+                    )
+                    admitted = admitted.take(order)
+                    cut = admitted.slice(config.round_budget)
+                    admitted = admitted.slice(0, config.round_budget)
+                    per_host: Dict[str, int] = {}
+                    for h in cut["host"].to_pylist():
+                        per_host[h] = per_host.get(h, 0) + 1
+                    ray.get(
+                        politeness[b % num_shards].refund_many.remote(
+                            round_id, per_host, f"local:{b}"
+                        )
+                    )
+                    defer_parts.append(cut)
+                admit_parts.append(admitted)
+                if defer_i:
+                    defer_parts.append(cand.take(pa.array(defer_i, pa.int64())))
+            defer_tbl = (
+                pa.concat_tables(defer_parts) if defer_parts else _EMPTY_FRONTIER
+            )
+            n_deferred = _write_bucketed(
+                _as_candidates(defer_tbl),
+                next_dir,
+                f"defer-{b}",
+                config.num_frontier_buckets(),
+                num_shards,
+            )
+            admitted_tbl = (
+                pa.concat_tables(admit_parts) if admit_parts else _EMPTY_FRONTIER
+            )
+            marker = pa.table(
+                {
+                    "url": pa.array([None], pa.string()),
+                    "host": pa.array([""], pa.string()),
+                    "priority": pa.array([0.0], pa.float64()),
+                    "depth": pa.array([0], pa.int32()),
+                    "n_denied": pa.array([n_denied], pa.int64()),
+                    "n_admitted": pa.array([n_admitted], pa.int64()),
+                    "n_deferred": pa.array([n_deferred], pa.int64()),
+                }
+            )
+            zeros = pa.array([0] * admitted_tbl.num_rows, pa.int64())
+            for c in _SCHED_MARKER_COLS:
+                admitted_tbl = admitted_tbl.append_column(c, zeros)
+            out.append(pa.concat_tables([admitted_tbl, marker]))
+        if not out:
+            empty = _EMPTY_FRONTIER
+            for c in _SCHED_MARKER_COLS:
+                empty = empty.append_column(c, pa.array([], pa.int64()))
+            return empty
+        return pa.concat_tables(out)
+
+    return schedule_bucket
+
+
+def _schedule_round_bucketed(
+    in_dir: str,
+    next_dir: str,
+    bloom,
+    politeness,
+    config: CrawlConfig,
+    round_id: int,
+):
+    """Distributed round scheduling over the bucketed frontier dir.
+    Returns (fetch_tbl, deferred_rows_written, n_denied, n_admitted).
+    Deferred rows never touch the driver — they are already on disk in
+    ``next_dir`` when this returns."""
+    import glob as _glob
+
+    bucket_ids = sorted(
+        int(os.path.basename(p).split("=", 1)[1])
+        for p in _glob.glob(os.path.join(in_dir, "bucket=*"))
+    )
+    if not bucket_ids:
+        return _EMPTY_FRONTIER, 0, 0, 0
+    sched = ray.data.from_arrow(
+        pa.table({"bucket": pa.array(bucket_ids, pa.int32())})
+    ).map_batches(
+        _make_bucket_scheduler(in_dir, next_dir, bloom, politeness, config, round_id),
+        batch_format="pyarrow",
+        batch_size=1,
+        num_cpus=1,
+    )
+    parts = [t for t in ray.get(sched.to_arrow_refs()) if t.num_rows]
+    if not parts:
+        return _EMPTY_FRONTIER, 0, 0, 0
+    allt = pa.concat_tables(parts)
+    marker_mask = pc.is_null(allt["url"])
+    markers = allt.filter(marker_mask)
+    n_denied = int(pc.sum(markers["n_denied"]).as_py() or 0)
+    n_admitted = int(pc.sum(markers["n_admitted"]).as_py() or 0)
+    n_deferred = int(pc.sum(markers["n_deferred"]).as_py() or 0)
+    admitted = allt.filter(pc.invert(marker_mask)).select(
+        ["url", "host", "priority", "depth"]
+    )
+    order = pc.sort_indices(
+        admitted, sort_keys=[("priority", "descending"), ("url", "ascending")]
+    )
+    admitted = admitted.take(order)
+    fetch_tbl = admitted.slice(0, config.round_budget).cast(FRONTIER_SCHEMA)
+    cut = admitted.slice(min(config.round_budget, admitted.num_rows))
+    if cut.num_rows:
+        _refund_over_budget(politeness, round_id, cut["host"].to_pylist())
+        n_deferred += _write_bucketed(
+            _as_candidates(cut),
+            next_dir,
+            "spill",
+            config.num_frontier_buckets(),
+            config.num_politeness_shards,
+        )
+    if fetch_tbl.num_rows:
+        ShardedSeenFilter(bloom).set_seen(fetch_tbl["url"].to_pylist())
+    return fetch_tbl, n_deferred, n_denied, n_admitted
+
+
+def _refund_over_budget(politeness, round_id: int, cut_hosts: List[str]) -> None:
+    """URLs admitted per-host but cut by the GLOBAL round budget are
+    deferred, not fetched — refund their token + lifetime-budget charge
+    (one batched idempotent call per politeness shard) so host budgets
+    are consumed by fetches only, never by deferrals re-admitted later."""
+    if not cut_hosts:
+        return
+    per_host: Dict[str, int] = {}
+    for h in cut_hosts:
+        per_host[h] = per_host.get(h, 0) + 1
+    by_shard: Dict[int, Dict[str, int]] = {}
+    for h, n in per_host.items():
+        by_shard.setdefault(politeness_shard_of(h, len(politeness)), {})[h] = n
+    ray.get(
+        [
+            politeness[s].refund_many.remote(round_id, counts)
+            for s, counts in by_shard.items()
+        ]
+    )
 
 
 _EMPTY_FRONTIER = pa.table(
@@ -340,7 +652,9 @@ def _schedule_round_driver(
     admitted.sort(key=lambda r: (-r[1], r[0]))
     n_admitted = len(admitted)
     fetch_rows = admitted[: config.round_budget]
-    deferred.extend(admitted[config.round_budget :])
+    cut = admitted[config.round_budget :]
+    deferred.extend(cut)
+    _refund_over_budget(politeness, round_id, [r[3] for r in cut])
 
     def to_table(rows) -> pa.Table:
         if not rows:
@@ -358,102 +672,6 @@ def _schedule_round_driver(
     if fetch_tbl.num_rows:
         ShardedSeenFilter(bloom).set_seen(fetch_tbl["url"].to_pylist())
     return fetch_tbl, to_table(deferred), n_denied, n_admitted
-
-
-def _schedule_round_distributed(
-    frontier_table: pa.Table, bloom, politeness, config: CrawlConfig, round_id: int
-):
-    """Distributed round scheduling: Dataset groupby dedup, bloom-probe
-    map_batches, groupby(host) admission (with optional salted
-    pre-truncation), distributed sort + split_at_indices.  This is the
-    10^10-frontier path; rounds under ``driver_threshold`` use the
-    driver fast path instead."""
-    frontier = ray.data.from_arrow(frontier_table)
-    candidates = _frontier_dedup(frontier)
-    unseen = candidates.map_batches(make_probe_filter(bloom), batch_format="pyarrow")
-
-    cols = ["url", "host", "priority", "depth", "status"]
-    if config.hot_host_salt > 1:
-
-        def add_salt(t: pa.Table) -> pa.Table:
-            salts = pa.array(
-                [
-                    stable_hash64("hostsalt", u) % config.hot_host_salt
-                    for u in t["url"].to_pylist()
-                ],
-                pa.int32(),
-            )
-            return t.append_column("salt", salts)
-
-        pre = (
-            unseen.map_batches(add_salt, batch_format="pyarrow")
-            .groupby(["host", "salt"])
-            .map_groups(
-                _make_salt_truncate_fn(config.capacity, config.deny),
-                batch_format="pandas",
-            )
-        )
-        to_admit = pre.map_batches(
-            lambda t: t.filter(pc.is_null(t["status"])).drop_columns(["status"]),
-            batch_format="pyarrow",
-        )
-        pre_decided = pre.map_batches(
-            lambda t: t.filter(pc.is_valid(t["status"])).select(cols),
-            batch_format="pyarrow",
-        )
-        admitted_all = (
-            to_admit.groupby("host")
-            .map_groups(_make_admit_fn(politeness, round_id, True), batch_format="pandas")
-            .select_columns(cols)
-            .union(pre_decided)
-        )
-    else:
-        admitted_all = (
-            unseen.groupby("host")
-            .map_groups(_make_admit_fn(politeness, round_id, False), batch_format="pandas")
-            .select_columns(cols)
-        )
-
-    admitted_all = admitted_all.materialize()
-
-    def status_eq(s):
-        return lambda t: t.filter(pc.equal(t["status"], s)).drop_columns(["status"])
-
-    admitted = admitted_all.map_batches(status_eq("admit"), batch_format="pyarrow")
-    deferred_ds = admitted_all.map_batches(status_eq("defer"), batch_format="pyarrow")
-    n_denied = admitted_all.map_batches(
-        status_eq("deny"), batch_format="pyarrow"
-    ).count()
-
-    admitted_sorted = admitted.sort(
-        ["priority", "url"], descending=[True, False]
-    ).materialize()
-    n_admitted = admitted_sorted.count()
-    if n_admitted > config.round_budget:
-        fetch_ds, over_budget = admitted_sorted.split_at_indices([config.round_budget])
-    else:
-        fetch_ds, over_budget = admitted_sorted, None
-
-    fetch_tbl = pa.Table.from_pandas(fetch_ds.to_pandas(), preserve_index=False)
-    if fetch_tbl.num_rows:
-        fetch_tbl = fetch_tbl.cast(FRONTIER_SCHEMA)
-        # distributed seen-marking before fetch
-        ray.data.from_arrow(fetch_tbl).map_batches(
-            make_mark_seen(bloom), batch_format="pyarrow"
-        ).materialize()
-    else:
-        fetch_tbl = _EMPTY_FRONTIER
-
-    deferred_parts = [pa.Table.from_pandas(deferred_ds.to_pandas(), preserve_index=False)]
-    if over_budget is not None:
-        deferred_parts.append(
-            pa.Table.from_pandas(over_budget.to_pandas(), preserve_index=False)
-        )
-    deferred_parts = [t.cast(FRONTIER_SCHEMA) for t in deferred_parts if t.num_rows]
-    deferred_tbl = (
-        pa.concat_tables(deferred_parts) if deferred_parts else _EMPTY_FRONTIER
-    )
-    return fetch_tbl, deferred_tbl, n_denied, n_admitted
 
 
 def crawl(
@@ -497,18 +715,32 @@ def crawl(
     ]
 
     start_round = 0
-    frontier_table: pa.Table
+    # Frontier residency: EITHER a small driver-side table (rounds under
+    # driver_threshold) OR a bucketed parquet dir on shared storage (the
+    # 10^10-URL regime) — never both.  Transitions happen at the round
+    # boundary in either direction; frontier_rows is the candidate-row
+    # count (pre-dedup upper bound) used for the regime decision.
+    frontier_tbl: Optional[pa.Table] = None
+    frontier_dir: Optional[str] = None
+    frontier_rows = 0
+    if not resume:
+        shutil.rmtree(os.path.join(out_dir, "frontier"), ignore_errors=True)
     if resume and ckpt_dir is not None and latest_round(ckpt_dir) is not None:
         state = load_checkpoint(ckpt_dir)
         start_round = state["round"] + 1
-        frontier_table = state["frontier"]
+        if state.get("frontier_dir"):
+            frontier_dir = state["frontier_dir"]
+            frontier_rows = state["frontier_rows"]
+        else:
+            frontier_tbl = state["frontier"]
+            frontier_rows = frontier_tbl.num_rows
         ShardedSeenFilter(bloom).restore(state["bloom"])
         ray.get(
             [h.restore.remote(s) for h, s in zip(politeness, state["politeness"])]
         )
     else:
         urls = seeds["url"].to_pylist()
-        frontier_table = pa.table(
+        frontier_tbl = pa.table(
             {
                 "url": pa.array(urls, pa.string()),
                 "host": pa.array([host_of(u) for u in urls], pa.string()),
@@ -516,6 +748,7 @@ def crawl(
                 "depth": pa.array([0] * len(urls), pa.int32()),
             }
         )
+        frontier_rows = frontier_tbl.num_rows
 
     # optional plasma preload: one copy of each partition in the
     # object store, mapped zero-copy by every fetch worker (callers may
@@ -532,11 +765,13 @@ def crawl(
         + [h.admit.remote(-1, "__warm__", []) for h in politeness]
     )
 
+    num_buckets = config.num_frontier_buckets()
+    num_shards = config.num_politeness_shards
     metrics: Dict = {"rounds": [], "urls_fetched": 0, "pages_extracted": 0}
     t_start = time.time()
 
     for round_id in range(start_round, config.max_rounds):
-        if frontier_table.num_rows == 0:
+        if frontier_rows == 0:
             break
         t_round = time.time()
         phase_t: Dict[str, float] = {}
@@ -546,18 +781,53 @@ def crawl(
             phase_t[name] = round(now - since[0], 3)
             since[0] = now
 
-        # scheduling: dedup → probe → admission → sort + budget split
-        # (driver fast path for small rounds, distributed otherwise),
-        # then the fetch set is marked seen
-        if frontier_table.num_rows <= config.driver_threshold:
-            fetch_tbl, deferred_tbl, n_denied, n_admitted = _schedule_round_driver(
-                frontier_table, bloom, politeness, config, round_id
+        bucketed = frontier_rows > config.driver_threshold
+        next_dir = _frontier_round_dir(out_dir, round_id + 1)
+
+        # scheduling: dedup -> probe -> admission -> sort + budget split
+        # (driver fast path for small rounds, bucketed otherwise), then
+        # the fetch set is marked seen
+        deferred_tbl = None
+        loaded_dir = None
+        if bucketed:
+            if frontier_dir is None:
+                # regime transition: spill the (already driver-resident)
+                # table out by bucket; from here the frontier stays on
+                # storage until it shrinks back under the threshold
+                frontier_dir = _frontier_round_dir(out_dir, round_id)
+                shutil.rmtree(frontier_dir, ignore_errors=True)
+                _write_bucketed(
+                    _as_candidates(frontier_tbl),
+                    frontier_dir,
+                    "seed",
+                    num_buckets,
+                    num_shards,
+                )
+                frontier_tbl = None
+            shutil.rmtree(next_dir, ignore_errors=True)
+            fetch_tbl, n_deferred, n_denied, n_admitted = _schedule_round_bucketed(
+                frontier_dir, next_dir, bloom, politeness, config, round_id
             )
         else:
-            fetch_tbl, deferred_tbl, n_denied, n_admitted = (
-                _schedule_round_distributed(
-                    frontier_table, bloom, politeness, config, round_id
+            if frontier_tbl is None:
+                # regime transition: the bucketed frontier shrank under
+                # the threshold — load + combine it driver-side (bounded
+                # by driver_threshold rows by definition)
+                import glob as _glob
+
+                files = sorted(
+                    _glob.glob(os.path.join(frontier_dir, "bucket=*", "*.parquet"))
                 )
+                frontier_tbl = _combine_candidates(
+                    pa.concat_tables([pq.read_table(f) for f in files])
+                    if files
+                    else CANDIDATE_SCHEMA.empty_table(),
+                    config.entity_bonus,
+                )
+                loaded_dir = frontier_dir  # consumed; removable post-ckpt
+                frontier_dir = None
+            fetch_tbl, deferred_tbl, n_denied, n_admitted = _schedule_round_driver(
+                frontier_tbl, bloom, politeness, config, round_id
             )
         _mark("schedule")
 
@@ -572,9 +842,10 @@ def crawl(
         pq.write_table(log_tbl, os.path.join(log_dir, f"round_{round_id}.parquet"))
         _mark("log")
 
+        n_links_rows = 0
         if fetch_tbl.num_rows:
             # one Arrow slice per fetch batch: from_arrow with a single
-            # table would yield ONE block → ONE serial map task
+            # table would yield ONE block -> ONE serial map task
             with_round = fetch_tbl.append_column(
                 "round", pa.array([round_id] * fetch_tbl.num_rows, pa.int32())
             )
@@ -587,15 +858,18 @@ def crawl(
 
             # ONE fused execution per round: fetch + extract + write the
             # page parquet from inside the task (deterministic file name
-            # per batch → a retried task overwrites its own file, never
-            # duplicates) + per-batch link/count partial aggregates as
-            # the task's (tiny) return value.  Collapsing the former
-            # fetch/write/count/links executions into one map removes
-            # ~4 streaming-executor launches of fixed latency per round.
+            # per batch -> a retried task overwrites its own file, never
+            # duplicates) + per-batch link partial aggregates.  In the
+            # bucketed regime the partials are written straight into the
+            # next round frontier dir (partition-on-write: the link
+            # merge happens inside next round per-bucket dedup, no
+            # groupby execution, nothing returned to the driver but two
+            # counters); in the driver regime they come back as the
+            # task return value for the driver merge.
             round_dir = os.path.join(out_dir, f"round={round_id}")
             os.makedirs(round_dir, exist_ok=True)
             max_depth = config.max_depth
-            entity_bonus = config.entity_bonus
+            links_dir = next_dir if bucketed else None
 
             def fetch_extract_fused(batch: pa.Table) -> pa.Table:
                 out = FetchExtract(
@@ -620,7 +894,7 @@ def crawl(
                     }
                 ).filter(pc.less(depths, pa.scalar(max_depth, pa.int32())))
                 # partial aggregate within the batch; target host is
-                # computed HERE (distributed) so the driver merge never
+                # computed HERE (distributed) so the driver never
                 # hashes urls
                 agg = links.group_by("target").aggregate(
                     [("target", "count"), ("is_entity", "max"), ("src_depth", "min")]
@@ -630,6 +904,29 @@ def crawl(
                     pa.array([host_of(u) for u in agg["target"].to_pylist()], pa.string()),
                 )
                 nf = pc.sum(pc.cast(out["fetched"], pa.int64())).as_py() or 0
+                if links_dir is not None:
+                    cand = pa.table(
+                        {
+                            "url": agg["target"],
+                            "host": agg["host"],
+                            "priority": pa.array([0.0] * agg.num_rows, pa.float64()),
+                            "depth": pc.cast(
+                                pc.add(agg["src_depth_min"], pa.scalar(1, pa.int32())),
+                                pa.int32(),
+                            ),
+                            "partial_count": pc.cast(agg["target_count"], pa.int64()),
+                            "is_entity": pc.cast(agg["is_entity_max"], pa.int8()),
+                        }
+                    )
+                    n_rows = _write_bucketed(
+                        cand, links_dir, f"links-{fname}", num_buckets, num_shards
+                    )
+                    return pa.table(
+                        {
+                            "n_fetched": pa.array([nf], pa.int64()),
+                            "n_link_rows": pa.array([n_rows], pa.int64()),
+                        }
+                    )
                 stats = pa.table(
                     {
                         "target": pa.array([None], pa.string()),
@@ -655,64 +952,85 @@ def crawl(
             fused = pa.concat_tables(fused_parts, promote_options="default")
             _mark("fetch_extract")
 
-            stats_mask = pc.is_null(fused["target"])
-            n_fetched = int(
-                pc.sum(fused.filter(stats_mask)["target_count"]).as_py() or 0
-            )
-            n_missing = fetch_tbl.num_rows - n_fetched
-
-            partials = fused.filter(pc.invert(stats_mask))
-            _merged = partials.group_by("target").aggregate(
-                [
-                    ("target_count", "sum"),
-                    ("is_entity_max", "max"),
-                    ("src_depth_min", "min"),
-                    ("host", "min"),
-                ]
-            )
-            links_tbl = pa.table(
-                {
-                    "target": _merged["target"],
-                    "target_count": _merged["target_count_sum"],
-                    "is_entity_max": _merged["is_entity_max_max"],
-                    "src_depth_min": _merged["src_depth_min_min"],
-                    "host": _merged["host_min"],
-                }
-            )
-            if links_tbl.num_rows:
-                la = links_tbl
-                prio = pc.add(
-                    pc.cast(la["target_count"], pa.float64()),
-                    pc.multiply(
-                        pc.cast(la["is_entity_max"], pa.float64()),
-                        pa.scalar(config.entity_bonus, pa.float64()),
-                    ),
+            if bucketed:
+                n_fetched = int(pc.sum(fused["n_fetched"]).as_py() or 0)
+                n_links_rows = int(pc.sum(fused["n_link_rows"]).as_py() or 0)
+                n_missing = fetch_tbl.num_rows - n_fetched
+                new_frontier = None
+            else:
+                stats_mask = pc.is_null(fused["target"])
+                n_fetched = int(
+                    pc.sum(fused.filter(stats_mask)["target_count"]).as_py() or 0
                 )
-                new_frontier = pa.table(
+                n_missing = fetch_tbl.num_rows - n_fetched
+
+                partials = fused.filter(pc.invert(stats_mask))
+                _merged = partials.group_by("target").aggregate(
+                    [
+                        ("target_count", "sum"),
+                        ("is_entity_max", "max"),
+                        ("src_depth_min", "min"),
+                        ("host", "min"),
+                    ]
+                )
+                links_tbl = pa.table(
                     {
-                        "url": la["target"],
-                        "host": la["host"],
-                        "priority": prio,
-                        "depth": pc.cast(
-                            pc.add(la["src_depth_min"], pa.scalar(1, pa.int32())),
-                            pa.int32(),
-                        ),
+                        "target": _merged["target"],
+                        "target_count": _merged["target_count_sum"],
+                        "is_entity_max": _merged["is_entity_max_max"],
+                        "src_depth_min": _merged["src_depth_min_min"],
+                        "host": _merged["host_min"],
                     }
                 )
-            else:
-                new_frontier = None
+                if links_tbl.num_rows:
+                    la = links_tbl
+                    prio = pc.add(
+                        pc.cast(la["target_count"], pa.float64()),
+                        pc.multiply(
+                            pc.cast(la["is_entity_max"], pa.float64()),
+                            pa.scalar(config.entity_bonus, pa.float64()),
+                        ),
+                    )
+                    new_frontier = pa.table(
+                        {
+                            "url": la["target"],
+                            "host": la["host"],
+                            "priority": prio,
+                            "depth": pc.cast(
+                                pc.add(la["src_depth_min"], pa.scalar(1, pa.int32())),
+                                pa.int32(),
+                            ),
+                        }
+                    )
+                else:
+                    new_frontier = None
             _mark("links")
         else:
             n_fetched = 0
             n_missing = 0
             new_frontier = None
 
-        # next frontier = deferred (politeness + over-budget) ∪ new links
-        parts = [t for t in (deferred_tbl, new_frontier) if t is not None and t.num_rows]
-        frontier_candidates = frontier_table.num_rows
-        frontier_table = (
-            pa.concat_tables(parts).cast(FRONTIER_SCHEMA) if parts else _EMPTY_FRONTIER
-        )
+        # next frontier = deferred (politeness + over-budget) + new links
+        frontier_candidates = frontier_rows
+        if bucketed:
+            consumed_dir = frontier_dir
+            frontier_dir = next_dir
+            frontier_tbl = None
+            frontier_rows = n_deferred + n_links_rows
+            deferred_count = n_deferred
+        else:
+            consumed_dir = loaded_dir
+            parts = [
+                t for t in (deferred_tbl, new_frontier) if t is not None and t.num_rows
+            ]
+            frontier_tbl = (
+                pa.concat_tables(parts).cast(FRONTIER_SCHEMA)
+                if parts
+                else _EMPTY_FRONTIER
+            )
+            frontier_dir = None
+            frontier_rows = frontier_tbl.num_rows
+            deferred_count = deferred_tbl.num_rows
 
         metrics["urls_fetched"] += fetch_tbl.num_rows
         metrics["pages_extracted"] += n_fetched
@@ -725,8 +1043,9 @@ def crawl(
                 "extracted": n_fetched,
                 "fetch_misses": n_missing,
                 "robots_denied": n_denied,
-                "deferred": deferred_tbl.num_rows,
-                "new_frontier": frontier_table.num_rows,
+                "deferred": deferred_count,
+                "new_frontier": frontier_rows,
+                "scheduling": "bucketed" if bucketed else "driver",
                 "sec": round(time.time() - t_round, 3),
                 "phases": phase_t,
             }
@@ -736,10 +1055,17 @@ def crawl(
             save_checkpoint(
                 ckpt_dir,
                 round_id,
-                frontier_table,
+                frontier_tbl,
                 ShardedSeenFilter(bloom).snapshot(),
                 ray.get([h.snapshot.remote() for h in politeness]),
+                frontier_dir=frontier_dir,
+                frontier_rows=frontier_rows,
             )
+        if consumed_dir is not None:
+            # the round consumed its input frontier dir; only the next
+            # round dir (referenced by the checkpoint just written) is
+            # still live
+            shutil.rmtree(consumed_dir, ignore_errors=True)
 
     metrics["wall_sec"] = round(time.time() - t_start, 3)
     metrics["urls_per_sec"] = round(

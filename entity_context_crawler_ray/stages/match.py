@@ -103,18 +103,22 @@ def process_doc(
     toks = tokenize(clean_text)
     token_spans = matcher(toks)
 
-    # pattern token-tuple -> (mention, eid): lookup via tokens, surface
-    # form recorded as the mention column (reference :287-289)
+    # pattern token-tuple -> eid: lookup via tokens; the mention column
+    # records the ACTUAL document span text clean_text[start:end] (the
+    # reference stores match_span.text, cmd/build_matches_db.py:287-289)
+    # — for token-equal but byte-different spans (doubled whitespace)
+    # the stored mention must equal the slice, not the pattern surface
     pat_lookup = {}
     for m, eid in mention_to_eid.items():
-        pat_lookup[tuple(t[0] for t in tokenize(m))] = (m, eid)
+        pat_lookup[tuple(t[0] for t in tokenize(m))] = eid
 
     db_matches = []
     for ts, te in token_spans:
         start_char = toks[ts][1]
         end_char = toks[te - 1][2]
         key = tuple(t[0] for t in toks[ts:te])
-        mention, eid = pat_lookup[key]
+        eid = pat_lookup[key]
+        mention = clean_text[start_char:end_char]
         ctx_start = max(start_char - DEBUG_WINDOW, 0)
         ctx_end = min(end_char + DEBUG_WINDOW, len(clean_text))
         db_matches.append(

@@ -29,22 +29,44 @@ def _round_dir(ckpt_dir: str, round_id: int) -> str:
 def save_checkpoint(
     ckpt_dir: str,
     round_id: int,
-    frontier: pa.Table,
+    frontier: Optional[pa.Table],
     bloom_snaps: List[Dict],
     politeness_snaps: List[Dict],
+    *,
+    frontier_dir: Optional[str] = None,
+    frontier_rows: Optional[int] = None,
 ) -> None:
+    """``frontier`` is the small driver-resident table, OR None with
+    ``frontier_dir`` pointing at the bucketed on-storage frontier (the
+    10^10-URL regime: the checkpoint then records a REFERENCE — the
+    frontier is already durable parquet, re-writing it here would be a
+    second full copy per round)."""
+    assert (frontier is None) != (frontier_dir is None)
     d = _round_dir(ckpt_dir, round_id)
     os.makedirs(d, exist_ok=True)
-    pq.write_table(frontier, os.path.join(d, "frontier.parquet"))
+    if frontier is not None:
+        pq.write_table(frontier, os.path.join(d, "frontier.parquet"))
+        frontier_rows = frontier.num_rows
     with open(os.path.join(d, "bloom.pkl"), "wb") as fh:
         pickle.dump(bloom_snaps, fh)
     with open(os.path.join(d, "politeness.json"), "w") as fh:
         json.dump(politeness_snaps, fh)
-    # manifest written LAST: its presence marks the round complete
-    with open(os.path.join(d, "manifest.json"), "w") as fh:
+    # manifest written LAST, via temp+rename so a kill mid-write can
+    # never leave a truncated manifest that latest_round() would count
+    # as a complete round (rename is atomic on POSIX)
+    tmp = os.path.join(d, "manifest.json.tmp")
+    with open(tmp, "w") as fh:
         json.dump(
-            {"round": round_id, "frontier_rows": frontier.num_rows}, fh
+            {
+                "round": round_id,
+                "frontier_rows": frontier_rows,
+                "frontier_dir": frontier_dir,
+            },
+            fh,
         )
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.rename(tmp, os.path.join(d, "manifest.json"))
 
 
 def latest_round(ckpt_dir: str) -> Optional[int]:
@@ -54,8 +76,15 @@ def latest_round(ckpt_dir: str) -> Optional[int]:
     for name in os.listdir(ckpt_dir):
         if name.startswith("round="):
             r = int(name.split("=", 1)[1])
-            if os.path.isfile(os.path.join(ckpt_dir, name, "manifest.json")):
-                best = r if best is None else max(best, r)
+            path = os.path.join(ckpt_dir, name, "manifest.json")
+            if not os.path.isfile(path):
+                continue
+            try:  # a manifest that doesn't parse is not a complete round
+                with open(path) as fh:
+                    json.load(fh)
+            except (json.JSONDecodeError, OSError):
+                continue
+            best = r if best is None else max(best, r)
     return best
 
 
@@ -64,7 +93,11 @@ def load_checkpoint(ckpt_dir: str, round_id: Optional[int] = None) -> Dict:
         round_id = latest_round(ckpt_dir)
     assert round_id is not None, f"no complete checkpoint under {ckpt_dir}"
     d = _round_dir(ckpt_dir, round_id)
-    frontier = pq.read_table(os.path.join(d, "frontier.parquet"))
+    with open(os.path.join(d, "manifest.json")) as fh:
+        manifest = json.load(fh)
+    frontier = None
+    if manifest.get("frontier_dir") is None:
+        frontier = pq.read_table(os.path.join(d, "frontier.parquet"))
     with open(os.path.join(d, "bloom.pkl"), "rb") as fh:
         bloom = pickle.load(fh)
     with open(os.path.join(d, "politeness.json")) as fh:
@@ -72,6 +105,8 @@ def load_checkpoint(ckpt_dir: str, round_id: Optional[int] = None) -> Dict:
     return {
         "round": round_id,
         "frontier": frontier,
+        "frontier_dir": manifest.get("frontier_dir"),
+        "frontier_rows": manifest.get("frontier_rows"),
         "bloom": bloom,
         "politeness": politeness,
     }

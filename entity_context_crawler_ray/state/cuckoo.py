@@ -73,17 +73,29 @@ class CuckooShard:
         if self._bucket_insert(i1, fp) or self._bucket_insert(i2, fp):
             self.count += 1
             return
-        # deterministic eviction chain
+        # deterministic eviction chain; record each swap so a failed
+        # chain can be unwound (otherwise the final displaced victim —
+        # a fingerprint of some PREVIOUSLY inserted url — would be
+        # silently dropped, a false negative at saturation)
         i = i1
         cur = fp
+        trail: List[tuple] = []  # (bucket, slot) of each swap, in order
         for attempt in range(MAX_KICKS):
             slot = _hash64(bytes(int(cur).to_bytes(2, "big")) + attempt.to_bytes(2, "big")) % SLOTS
             cur, self.table[i, slot] = self.table[i, slot], cur
+            trail.append((i, slot))
             i = self._alt_index(i, cur)
             if self._bucket_insert(i, cur):
                 self.count += 1
                 return
-        # table effectively full: spill exactly (no false negatives)
+        # chain exhausted: unwind every swap in reverse so all earlier
+        # entries keep their table slots (and the new url's fp placed by
+        # the first swap is removed — it must live in overflow ONLY,
+        # else delete() could succeed twice and corrupt count), THEN
+        # spill exactly the new url (no false negatives)
+        for bi, bslot in reversed(trail):
+            cur, self.table[bi, bslot] = self.table[bi, bslot], cur
+        assert cur == fp
         self.overflow.add(url)
         self.count += 1
 

@@ -66,6 +66,18 @@ class HostPolicy:
         self.fetched_total += take
         return admitted, deferred, denied
 
+    def refund(self, n: int) -> None:
+        """Return ``n`` admission charges: URLs admitted here but then
+        cut by the crawl loop's GLOBAL round budget are deferred, not
+        fetched — without a refund their tokens and (worse) their
+        lifetime ``crawl_budget`` charge would be consumed by fetches
+        that never happened, and re-charged on re-admission next round,
+        eventually denying the host's remaining budget permanently."""
+        if n <= 0:
+            return
+        self.tokens = min(self.capacity, self.tokens + n)
+        self.fetched_total = max(0, self.fetched_total - n)
+
 
 class PolitenessShard:
     """Holds HostPolicy state for every host hashing to this shard."""
@@ -88,12 +100,64 @@ class PolitenessShard:
         return self.hosts[host]
 
     def admit(self, round_id: int, host: str, urls_by_priority: List[str]):
-        key = (round_id, host)
+        key = ("admit", round_id, host)
         if key not in self._cache:
             self._cache[key] = self._host(host).admit(round_id, urls_by_priority)
-            if len(self._cache) > 4096:
-                self._cache = {key: self._cache[key]}
+            self._evict_cache(round_id)
         return self._cache[key]
+
+    def admit_many(
+        self, round_id: int, hosts: List[str], url_lists: List[List[str]]
+    ) -> List[List[str]]:
+        """ONE actor call per (frontier bucket, round): admit every host
+        in the bucket at once, returning per-host status lists aligned
+        with the input url order ('admit' | 'defer' | 'deny').  Each
+        url list must arrive sorted by (priority desc, url asc); the
+        per-host decisions go through the same idempotent cache as
+        ``admit``, so a retried bucket task replays identical results."""
+        out: List[List[str]] = []
+        for host, urls in zip(hosts, url_lists):
+            adm, dfr, den = self.admit(round_id, host, urls)
+            status: Dict[str, str] = {}
+            for u in adm:
+                status[u] = "admit"
+            for u in dfr:
+                status[u] = "defer"
+            for u in den:
+                status[u] = "deny"
+            out.append([status[u] for u in urls])
+        return out
+
+    def refund(self, round_id: int, host: str, n: int, source: str = "global") -> None:
+        """Idempotent per (round, host, source): return ``n``
+        over-round-budget admission charges (see HostPolicy.refund).
+        ``source`` distinguishes independent refund origins in the same
+        round (each frontier bucket's local truncation + the driver's
+        global cut) — same-source retries are swallowed, distinct
+        sources accumulate."""
+        key = ("refund", round_id, host, source)
+        if key not in self._cache:
+            self._host(host).refund(n)
+            self._cache[key] = n
+            self._evict_cache(round_id)
+
+    def refund_many(
+        self, round_id: int, host_counts: Dict[str, int], source: str = "global"
+    ) -> None:
+        """One call per shard per round: refund every host at once."""
+        for host, n in host_counts.items():
+            self.refund(round_id, host, n, source)
+
+    def _evict_cache(self, current_round: int) -> None:
+        # Only decisions from PAST rounds are safe to drop: the crawl
+        # loop never re-issues a (round, host) call once the round has
+        # completed, so a Ray retry can only target the current round.
+        # Clearing indiscriminately (the old behavior) let a retried
+        # current-round call re-execute admit and double-charge tokens.
+        if len(self._cache) > 4096:
+            self._cache = {
+                k: v for k, v in self._cache.items() if k[1] >= current_round
+            }
 
     def snapshot(self) -> Dict:
         return {

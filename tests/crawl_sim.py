@@ -58,10 +58,14 @@ def simulate_crawl(
             adm, dfr, _denied = policies[host].admit(round_id, urls)
             admitted.extend((u, cand[u][0], cand[u][1]) for u in adm)
             deferred.extend((u, cand[u][0], cand[u][1]) for u in dfr)
-        # 4. global budget
+        # 4. global budget; over-budget rows are deferred AND refunded
+        # (host tokens / lifetime budget charge only for actual fetches)
         admitted.sort(key=lambda t: (-t[1], t[0]))
         fetch = admitted[: config.round_budget]
-        deferred.extend(admitted[config.round_budget :])
+        cut = admitted[config.round_budget :]
+        deferred.extend(cut)
+        for url, _p, _d in cut:
+            policies[host_of(url)].refund(1)
         # 5. mark + fetch + extract
         new_links: Dict[str, List[int]] = {}  # target -> [count, is_entity, min_src_depth]
         n_fetched = 0

@@ -162,6 +162,73 @@ def test_crawl_salting_and_scheduling_paths_equivalent(store_and_inputs):
     pd.testing.assert_frame_equal(a, c)
 
 
+def test_crawl_bucketed_with_budgets_matches_simulator(store_and_inputs):
+    """The bucketed (distributed-resident frontier) path under binding
+    robots rules + host budgets + global budget must still reproduce
+    the simulator's ordering and seen set — this chains with
+    test_crawl_matches_simulator to prove bucketed == driver == sim."""
+    store, ref, docs_local, idx, seeds = store_and_inputs
+    cfg = CrawlConfig(
+        max_depth=1,
+        round_budget=40,
+        capacity=5,
+        refill=3,
+        deny={"h3": ["Doc_1"]},
+        host_budget={"h5": 7},
+        num_bloom_shards=2,
+        num_politeness_shards=2,
+        doc_store_partitions=8,
+        max_rounds=40,
+        driver_threshold=0,
+        frontier_buckets_per_shard=3,
+    )
+    metrics, out = _run(store, ref, seeds, cfg, "bucketed_budget")
+    sim = simulate_crawl(
+        docs_local,
+        list(zip(seeds["url"].to_pylist(), seeds["priority"].to_pylist())),
+        idx["title_to_eid"],
+        cfg,
+    )
+    log = _read_fetch_log(out)
+    assert list(zip(log["round"], log["rank"], log["url"])) == sim["fetch_log"]
+    assert set(log["url"]) == sim["seen"]
+    assert all(r["scheduling"] == "bucketed" for r in metrics["rounds"])
+    # the frontier never lived on the driver: consumed round dirs are
+    # cleaned up, at most the final (empty) round dir remains
+    assert len(glob.glob(f"{out}/frontier/round=*")) <= 1
+
+
+def test_crawl_bucketed_resume_equivalence(store_and_inputs):
+    """Resume in the bucketed regime: the checkpoint references the
+    on-storage frontier dir instead of embedding a table."""
+    store, ref, docs_local, idx, seeds = store_and_inputs
+    kw = dict(
+        max_depth=1,
+        round_budget=30,
+        capacity=4,
+        refill=2,
+        num_bloom_shards=2,
+        num_politeness_shards=2,
+        doc_store_partitions=8,
+        driver_threshold=0,
+    )
+    m_full, out_full = _run(
+        store, ref, seeds, CrawlConfig(max_rounds=40, **kw), "bfull", ckpt=True
+    )
+    m_a, out_part = _run(
+        store, ref, seeds, CrawlConfig(max_rounds=1, **kw), "bpart", ckpt=True
+    )
+    m_b, _ = _run(
+        store, ref, seeds, CrawlConfig(max_rounds=40, **kw), "bpart",
+        ckpt=True, resume=True,
+    )
+    pd.testing.assert_frame_equal(
+        _read_fetch_log(out_full)[["round", "rank", "url"]],
+        _read_fetch_log(out_part)[["round", "rank", "url"]],
+    )
+    assert m_full["urls_fetched"] == m_a["urls_fetched"] + m_b["urls_fetched"]
+
+
 def test_crawl_resume_equivalence(store_and_inputs):
     store, ref, docs_local, idx, seeds = store_and_inputs
     kw = dict(
@@ -239,6 +306,51 @@ def test_cuckoo_shard_basics():
     c2 = CuckooShard(num_buckets=1 << 10)
     c2.restore(snap)
     assert c2.probe(urls[:10]) == c.probe(urls[:10])
+
+
+def test_cuckoo_saturation_no_false_negatives():
+    """Regression: at table saturation the failed kick chain used to
+    drop the in-flight evicted victim fingerprint — a previously
+    inserted url silently forgotten.  The chain is now unwound before
+    spilling, so EVERY inserted url must still probe seen."""
+    from entity_context_crawler_ray.state.cuckoo import CuckooShard
+
+    c = CuckooShard(num_buckets=8)  # 32 slots << 200 urls: saturates
+    urls = [f"u{i}" for i in range(200)]
+    c.set_seen(urls)
+    assert all(c.probe(urls)), "saturated cuckoo shard lost inserted urls"
+    assert c.count == 200
+    # the overflow-spilled url lives in overflow ONLY: one delete
+    # succeeds, a second returns False, and count stays consistent
+    for u in urls:
+        assert c.delete(u)
+    for u in urls:
+        assert not c.contains(u) or c.count >= 0  # no double-representation
+    assert c.count <= 2  # fp-collision slack only
+
+
+def test_host_policy_refund_restores_lifetime_budget():
+    """Regression: URLs admitted per-host but cut by the global round
+    budget used to consume the host's lifetime crawl_budget without a
+    fetch; refund returns the charge so they can be fetched later."""
+    p = HostPolicy(capacity=10, refill=10, crawl_budget=3)
+    adm, dfr, den = p.admit(0, ["a", "b", "c"])
+    assert adm == ["a", "b", "c"]
+    p.refund(2)  # b, c cut by the global budget
+    assert p.fetched_total == 1
+    adm, dfr, den = p.admit(1, ["b", "c", "d"])
+    assert adm == ["b", "c"]  # budget room restored for the deferred urls
+    assert dfr + den == ["d"]
+
+
+def test_politeness_shard_refund_idempotent():
+    from entity_context_crawler_ray.state.politeness import PolitenessShard
+
+    s = PolitenessShard({"capacity": 5, "refill": 5, "budget": {"h": 5}})
+    s.admit(0, "h", ["a", "b", "c", "d"])
+    s.refund_many(0, {"h": 2})
+    s.refund_many(0, {"h": 2})  # retried call: must not double-refund
+    assert s.hosts["h"].fetched_total == 2
 
 
 def test_crawl_with_cuckoo_filter(store_and_inputs):
