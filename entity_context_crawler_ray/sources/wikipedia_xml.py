@@ -12,27 +12,32 @@ interleaved span sequence via the wikitext spec
 spans (target title, underscores normalized to spaces), File:/Image:
 links -> media spans.
 
-Distribution note: a single dump file parses as a driver-side stream
-batched into Arrow blocks (``read_wikipedia_xml``).  Real enwiki dumps
-ship as multistream bz2 with a stream index — at 100 TB the index's
-byte offsets become one read task per stream feeding the same
-``page_to_doc_row`` conversion; the per-page logic below is already
-partition-agnostic.
+Distribution: three read paths share the same per-page conversion.
+
+- ``read_wikipedia_xml`` — driver-side stream batched into Arrow
+  blocks (small dumps, supports ``limit_pages`` + skip counters).
+- ``read_wikipedia_xml_distributed`` — plain-XML dump split into N
+  byte ranges aligned to ``<page`` boundaries (cheap driver probes:
+  seek + scan forward, no full read); one Ray task parses each range.
+- ``read_wikipedia_multistream`` — the real enwiki ``multistream.bz2``
+  layout: the companion index file's byte offsets delimit
+  independently-decompressible bz2 streams of whole ``<page>``
+  elements; offsets are grouped into N ranges, one task per range.
+  At 100 TB this is the path: the index is ~1/1000 of the dump and
+  the streams decompress in parallel with no coordination.
 """
 
 from __future__ import annotations
 
+import bz2
+import os
 import xml.etree.ElementTree as ET
-from typing import Dict, Iterator, List, Optional
+from typing import Dict, Iterator, List, Optional, Tuple
 
 import pyarrow as pa
 import ray.data
 
-from ..functions.wikitext import (
-    MEDIA_PREFIXES,
-    extract_wikilinks,
-    plain_text,
-)
+from ..functions.wikitext import interleaved_spans
 from .docs import DOCS_SCHEMA
 
 # reference util/wikipedia.py:66-75
@@ -108,25 +113,20 @@ class WikipediaPages:
 
 
 def page_to_doc_row(title: str, markup: str) -> dict:
-    """One page -> one docs row (interleaved spans, offset-ordered)."""
+    """One page -> one docs row: TRUE interleaving — link/media spans
+    sit at their real document positions among the text paragraphs
+    (``offset`` = document order), per the input_hint's interleaved
+    semantics.  Link targets are normalized underscores->spaces."""
     spans: List[dict] = []
-    offset = 0
-
-    def add(kind: str, stext: str, media_ref: str = "") -> None:
-        nonlocal offset
-        spans.append({"kind": kind, "text": stext, "media_ref": media_ref, "offset": offset})
-        offset += 1
-
-    for target, anchor in extract_wikilinks(markup):
-        norm = target.replace("_", " ")
-        if norm.startswith(MEDIA_PREFIXES):
-            add("media", anchor, norm)
-        else:
-            add("link", anchor, norm)
-    for paragraph in plain_text(markup).split("\n"):
-        paragraph = paragraph.strip()
-        if paragraph:
-            add("text", paragraph)
+    for offset, (kind, stext, target) in enumerate(interleaved_spans(markup)):
+        spans.append(
+            {
+                "kind": kind,
+                "text": stext,
+                "media_ref": target.replace("_", " "),
+                "offset": offset,
+            }
+        )
     return {"doc_id": title, "spans": spans}
 
 
@@ -146,3 +146,166 @@ def read_wikipedia_xml(
     if not tables:
         tables = [DOCS_SCHEMA.empty_table()]
     return ray.data.from_arrow(tables)
+
+
+# --- distributed read paths ----------------------------------------------
+
+
+def _parse_page_fragment(xml_bytes: bytes) -> pa.Table:
+    """Complete ``<page>`` elements (no root required) -> docs rows,
+    applying the same namespace / missing-field filters as the serial
+    iterator."""
+    root = ET.fromstring(b"<mediawiki>" + xml_bytes + b"</mediawiki>")
+    local = WikipediaPages._local
+    rows: List[dict] = []
+    for elem in root:
+        if local(elem.tag) != "page":
+            continue
+        title = text = None
+        for child in elem:
+            name = local(child.tag)
+            if name == "title":
+                title = child.text
+            elif name == "revision":
+                for sub in child:
+                    if local(sub.tag) == "text":
+                        text = sub.text
+        if not title or text is None or title.startswith(SKIP_NAMESPACES):
+            continue
+        rows.append(page_to_doc_row(title, text))
+    return (
+        pa.Table.from_pylist(rows, schema=DOCS_SCHEMA)
+        if rows
+        else DOCS_SCHEMA.empty_table()
+    )
+
+
+def _scan_forward(fh, pos: int, needle: bytes, chunk: int = 1 << 20) -> Optional[int]:
+    """First occurrence of ``needle`` at/after byte ``pos`` (buffered)."""
+    fh.seek(pos)
+    carry = b""
+    while True:
+        buf = fh.read(chunk)
+        if not buf:
+            return None
+        hay = carry + buf
+        hit = hay.find(needle)
+        if hit >= 0:
+            return pos - len(carry) + hit
+        pos += len(buf)
+        carry = hay[-(len(needle) - 1) :]
+
+
+def _page_split_offsets(path: str, num_splits: int) -> List[Tuple[int, int]]:
+    """[(start, end)) byte ranges aligned to ``<page`` boundaries.
+    Driver cost: ``num_splits`` seeks + short forward scans — never a
+    full read of the dump."""
+    size = os.path.getsize(path)
+    needle = b"<page"
+    with open(path, "rb") as fh:
+        first = _scan_forward(fh, 0, needle)
+        if first is None:
+            return []
+        bounds = {first}
+        for i in range(1, num_splits):
+            off = _scan_forward(fh, size * i // num_splits, needle)
+            if off is not None:
+                bounds.add(off)
+        end = _scan_forward(fh, 0, b"</mediawiki")
+    starts = sorted(bounds)
+    stops = starts[1:] + [end if end is not None else size]
+    return [(s, e) for s, e in zip(starts, stops) if e > s]
+
+
+def read_wikipedia_xml_distributed(
+    path: str, num_tasks: int = 16
+) -> ray.data.Dataset:
+    """Plain-XML dump -> docs Dataset via byte-range read TASKS: the
+    driver only probes split offsets; each task reads + parses its own
+    range (identical rows to ``read_wikipedia_xml``, modulo block
+    order).  ``path`` must be on storage every worker can reach."""
+    ranges = _page_split_offsets(path, num_tasks)
+    if not ranges:
+        return ray.data.from_arrow([DOCS_SCHEMA.empty_table()])
+
+    def parse_range(batch: pa.Table) -> pa.Table:
+        tables = []
+        for start, end in zip(batch["start"].to_pylist(), batch["end"].to_pylist()):
+            with open(path, "rb") as fh:
+                fh.seek(start)
+                tables.append(_parse_page_fragment(fh.read(end - start)))
+        return pa.concat_tables(tables)
+
+    ranges_tbl = pa.table(
+        {
+            "start": pa.array([r[0] for r in ranges], pa.int64()),
+            "end": pa.array([r[1] for r in ranges], pa.int64()),
+        }
+    )
+    return ray.data.from_arrow(
+        [ranges_tbl.slice(i, 1) for i in range(ranges_tbl.num_rows)]
+    ).map_batches(parse_range, batch_format="pyarrow", batch_size=1, num_cpus=1)
+
+
+def read_multistream_index(index_path: str) -> List[int]:
+    """Multistream index (``offset:page_id:title`` per line, offsets
+    repeat per page within a stream) -> sorted unique stream offsets."""
+    offsets = set()
+    opener = bz2.open if index_path.endswith(".bz2") else open
+    with opener(index_path, "rt", encoding="utf-8") as fh:
+        for line in fh:
+            line = line.strip()
+            if line:
+                offsets.add(int(line.split(":", 1)[0]))
+    return sorted(offsets)
+
+
+def read_wikipedia_multistream(
+    path: str, index_path: str, num_tasks: int = 16
+) -> ray.data.Dataset:
+    """enwiki ``pages-articles-multistream.xml.bz2`` + its index ->
+    docs Dataset: stream offsets are grouped into ``num_tasks``
+    contiguous ranges; each task decompresses ONLY its own bz2 streams
+    (every stream is an independent bz2 member holding whole <page>
+    elements — the format exists precisely for this random access)."""
+    offsets = read_multistream_index(index_path)
+    if not offsets:
+        return ray.data.from_arrow([DOCS_SCHEMA.empty_table()])
+    size = os.path.getsize(path)
+    per = max(1, -(-len(offsets) // num_tasks))
+    groups = [offsets[i : i + per] for i in range(0, len(offsets), per)]
+    ends = [g[0] for g in groups[1:]] + [size]
+
+    def parse_streams(batch: pa.Table) -> pa.Table:
+        tables = []
+        for start, end in zip(batch["start"].to_pylist(), batch["end"].to_pylist()):
+            with open(path, "rb") as fh:
+                fh.seek(start)
+                blob = fh.read(end - start)
+            xml_parts: List[bytes] = []
+            pos = 0
+            while pos < len(blob):  # concatenated bz2 members
+                dec = bz2.BZ2Decompressor()
+                xml_parts.append(dec.decompress(blob[pos:]))
+                if dec.unused_data:
+                    pos = len(blob) - len(dec.unused_data)
+                else:
+                    break
+            joined = b"".join(xml_parts)
+            # the final range also decompresses the closing-root
+            # stream; drop it (inside page text it would be escaped)
+            tail = joined.rfind(b"</mediawiki")
+            if tail >= 0:
+                joined = joined[:tail]
+            tables.append(_parse_page_fragment(joined))
+        return pa.concat_tables(tables)
+
+    ranges_tbl = pa.table(
+        {
+            "start": pa.array([g[0] for g in groups], pa.int64()),
+            "end": pa.array(ends, pa.int64()),
+        }
+    )
+    return ray.data.from_arrow(
+        [ranges_tbl.slice(i, 1) for i in range(ranges_tbl.num_rows)]
+    ).map_batches(parse_streams, batch_format="pyarrow", batch_size=1, num_cpus=1)

@@ -102,6 +102,36 @@ def test_page_to_doc_row(xml_path):
     assert "Europe" in link_targets and "Germany" in link_targets
 
 
+def test_page_to_doc_row_true_interleaving():
+    """Link/media spans sit at their real document positions among the
+    text paragraphs (input_hint interleaved semantics) — a link in the
+    middle of the page must NOT be emitted before earlier paragraphs."""
+    markup = (
+        "First paragraph with no links at all here.\n"
+        "Second paragraph mentions [[Berlin]] mid-sentence and goes on.\n"
+        "[[File:Map.png|caption]]\n"
+        "Last paragraph links [[Europe|the continent]] late."
+    )
+    row = page_to_doc_row("T", markup)
+    seq = [(s["kind"], s["media_ref"]) for s in row["spans"]]
+    assert seq == [
+        ("text", ""),            # first paragraph BEFORE any link span
+        ("link", "Berlin"),      # link pinned to its own paragraph
+        ("text", ""),
+        ("media", "File:Map.png"),
+        ("link", "Europe"),
+        ("text", ""),
+    ]
+    # anchor text stays inline in the paragraph text
+    texts = [s["text"] for s in row["spans"] if s["kind"] == "text"]
+    assert "Berlin" in texts[1] and "the continent" in texts[2]
+    # a link inside a removed template has no text position: it is
+    # still extracted (same link set) but appended at the end
+    row2 = page_to_doc_row("T2", "Para one.\n{{box|[[Hidden]]}}\nPara two.")
+    seq2 = [(s["kind"], s["media_ref"]) for s in row2["spans"]]
+    assert seq2 == [("text", ""), ("text", ""), ("link", "Hidden")]
+
+
 def test_reference_input_loaders(tmp_path):
     entities = {
         "/m/0abc": {"label": "Germany", "wikipedia": "http://en.wikipedia.org/wiki/Germany"},
