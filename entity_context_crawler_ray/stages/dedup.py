@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import hashlib
 import re
+from contextlib import contextmanager
 from typing import Dict, List
 
 import numpy as np
@@ -120,11 +121,13 @@ def ngram_jaccard_vs(
 
 
 class MinHashLSH:
-    """map_batches stage: doc -> (band_id, band_hash) rows.
+    """map_batches stage: doc -> ``bands`` (doc_id, band_key) rows.
 
     num_perm permutations split into ``bands`` bands of r rows each;
-    docs sharing any (band_id, band_hash) bucket are candidates.  The
-    classic S-curve: P(candidate) = 1 - (1 - j^r)^bands."""
+    docs sharing any band bucket are candidates.  The classic S-curve:
+    P(candidate) = 1 - (1 - j^r)^bands.  The band id is FOLDED into
+    one int64 ``band_key`` (hash of band_id ‖ signature chunk), so the
+    downstream exchange moves a single fixed-width column."""
 
     def __init__(self, num_perm: int = 64, bands: int = 16, shingle_n: int = 3):
         assert num_perm % bands == 0
@@ -141,7 +144,7 @@ class MinHashLSH:
         return minhash_signature(hashes, self.a, self.b)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids, band_ids, band_hashes = [], [], []
+        ids, band_keys = [], []
         for doc_id, text in zip(
             batch["doc_id"].to_pylist(), batch["text"].to_pylist()
         ):
@@ -149,11 +152,10 @@ class MinHashLSH:
             for b in range(self.bands):
                 chunk = sig[b * self.rows_per_band : (b + 1) * self.rows_per_band]
                 ids.append(doc_id)
-                band_ids.append(b)
-                band_hashes.append(
+                band_keys.append(
                     int.from_bytes(
                         hashlib.blake2b(
-                            chunk.tobytes(), digest_size=8
+                            b.to_bytes(4, "big") + chunk.tobytes(), digest_size=8
                         ).digest(),
                         "big",
                     )
@@ -162,10 +164,75 @@ class MinHashLSH:
         return pa.table(
             {
                 "doc_id": pa.array(ids),
-                "band_id": pa.array(band_ids, pa.int32()),
-                "band_hash": pa.array(band_hashes, pa.int64()),
+                "band_key": pa.array(band_keys, pa.int64()),
             }
         )
+
+
+@contextmanager
+def _hash_shuffle(ds: ray.data.Dataset):
+    """Scope the HASH_SHUFFLE strategy around plan build + execution of
+    the key-based repartitions (Ray's default sort shuffle doesn't
+    support ``repartition(keys=...)``).  A Dataset executes under the
+    DataContext captured in its LINEAGE — shared with the input
+    dataset — so the flip happens on ``ds.context`` and is restored on
+    exit (global hash shuffle is avoided deliberately: its aggregator
+    pool can starve tiny CPU budgets — observed as a plain groupby
+    deadlocking in a 4-CPU session).  Every dataset built under this
+    scope must be materialized INSIDE it."""
+    from ray.data.context import ShuffleStrategy
+
+    ctx = ds.context
+    prev = ctx.shuffle_strategy
+    ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    try:
+        yield
+    finally:
+        ctx.shuffle_strategy = prev
+
+
+def _default_partitions(divisor: int, floor: int) -> int:
+    """Hash-exchange partition count ∝ cluster CPUs.  Each partition
+    costs an aggregator actor, so small clusters want few (measured on
+    this 32-CPU box: 8 partitions beat 32 by ~1.7× on the LSH
+    exchange); a 256-node cluster gets hundreds."""
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:  # noqa: BLE001 — cluster not up yet
+        cpus = 8
+    return max(floor, cpus // divisor)
+
+
+def _empty_pairs(dtype: pa.DataType) -> pa.Table:
+    return pa.table({"a": pa.array([], dtype), "b": pa.array([], dtype)})
+
+
+def _block_pairs(t: pa.Table) -> pa.Table:
+    """Within one hash-partitioned block (complete band_key groups):
+    sort by (band_key, doc_id), find runs vectorized, emit all ordered
+    pairs per run."""
+    dtype = t["doc_id"].type
+    if t.num_rows < 2:
+        return _empty_pairs(dtype)
+    idx = pc.sort_indices(
+        t, sort_keys=[("band_key", "ascending"), ("doc_id", "ascending")]
+    )
+    t = t.take(idx)
+    keys = t["band_key"].to_numpy()
+    ids = t["doc_id"].to_pylist()
+    bounds = np.flatnonzero(np.diff(keys)) + 1
+    a_out: List = []
+    b_out: List = []
+    for s, e in zip(np.r_[0, bounds], np.r_[bounds, len(keys)]):
+        if e - s > 1:
+            grp = ids[s:e]
+            for i in range(len(grp)):
+                for j in range(i + 1, len(grp)):
+                    a_out.append(grp[i])
+                    b_out.append(grp[j])
+    if not a_out:
+        return _empty_pairs(dtype)
+    return pa.table({"a": pa.array(a_out, dtype), "b": pa.array(b_out, dtype)})
 
 
 def minhash_candidates(
@@ -173,44 +240,54 @@ def minhash_candidates(
     num_perm: int = 64,
     bands: int = 16,
     shingle_n: int = 3,
-    pair_dedup: str = "driver",
+    pair_dedup: str = "auto",
+    num_partitions: int | None = None,
+    driver_pair_threshold: int = 2_000_000,
 ) -> ray.data.Dataset:
     """Candidate near-dup pairs via LSH banding: shingle→minhash→band
-    rows (map_batches) → groupby(band) → within-bucket pairs, deduped
-    globally on (a, b).
+    rows (map_batches) → HASH repartition on band_key (one fixed-width
+    exchange, no distributed sort) → vectorized within-block pair
+    generation → dedup on (a, b).
 
-    ``pair_dedup``: candidates are a tiny fraction of the corpus by
-    design, so the default dedups them on the driver (one pyarrow
-    group_by — saves a whole distributed sort); pass "distributed"
-    to keep the dedup as a Ray groupby when the candidate set itself
-    is huge (pathological near-dup-heavy corpora)."""
+    ``pair_dedup``: 'auto' (default) dedups on the driver while the
+    materialized pair count is under ``driver_pair_threshold`` and
+    switches to the distributed path above it; 'driver'/'distributed'
+    force a path.  The distributed dedup is itself a hash repartition
+    on (a, b) + per-block Arrow group_by — same (a, b) always lands in
+    the same block, so per-block dedup is global."""
+    if num_partitions is None:
+        num_partitions = _default_partitions(4, 2)
     band_rows = documents.map_batches(
         MinHashLSH(num_perm, bands, shingle_n), batch_format="pyarrow"
     )
-
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(g["doc_id"].tolist())
-        out = [
-            (a, b) for i, a in enumerate(ids) for b in ids[i + 1 :]
-        ]
-        return pd.DataFrame(out, columns=["a", "b"]) if out else pd.DataFrame(
-            {"a": pd.Series(dtype=g["doc_id"].dtype), "b": pd.Series(dtype=g["doc_id"].dtype)}
+    with _hash_shuffle(band_rows):
+        pairs = (
+            band_rows.repartition(num_partitions, keys=["band_key"])
+            .map_batches(_block_pairs, batch_format="pyarrow", batch_size=None)
+            .materialize()
+        )
+        n_pairs = pairs.count()
+        if pair_dedup == "driver" or (
+            pair_dedup == "auto" and n_pairs <= driver_pair_threshold
+        ):
+            tbl = pa.concat_tables(
+                ray.get(pairs.to_arrow_refs()), promote_options="default"
+            )
+            if tbl.num_rows:
+                tbl = tbl.group_by(["a", "b"]).aggregate([]).select(["a", "b"])
+            return ray.data.from_arrow(tbl)
+        return (
+            pairs.repartition(num_partitions, keys=["a", "b"])
+            .map_batches(
+                lambda t: t.group_by(["a", "b"]).aggregate([]).select(["a", "b"]),
+                batch_format="pyarrow",
+                batch_size=None,
+            )
+            .materialize()
         )
 
-    pairs = band_rows.groupby(["band_id", "band_hash"]).map_groups(
-        bucket_pairs, batch_format="pandas"
-    )
-    # a pair can surface from several bands: exact dedup on the pair key
-    if pair_dedup == "distributed":
-        return pairs.groupby(["a", "b"]).map_groups(
-            lambda g: g.head(1), batch_format="pandas"
-        )
-    tbl = pa.concat_tables(
-        ray.get(pairs.to_arrow_refs()), promote_options="default"
-    )
-    if tbl.num_rows:
-        tbl = tbl.group_by(["a", "b"]).aggregate([]).select(["a", "b"])
-    return ray.data.from_arrow(tbl)
+
+_VERIFY_BLOOM_BITS = 1 << 23  # 1 MiB of driver memory regardless of pair count
 
 
 def verify_jaccard_pairs(
@@ -218,58 +295,96 @@ def verify_jaccard_pairs(
     documents: ray.data.Dataset,
     threshold: float,
     shingle_n: int = 3,
+    num_partitions: int | None = None,
 ) -> ray.data.Dataset:
-    """Verify candidate pairs by true Jaccard.
+    """Verify candidate pairs by true Jaccard — fully distributed.
 
-    Only the docs that actually appear in a candidate pair are read
-    back (vectorized ``is_in`` filter, column-pruned) — candidates
-    after LSH are a tiny fraction of the corpus, so shingling happens
-    on that fraction only.  At 100 TB the same shape becomes a
-    co-group of pairs with the filtered docs, repartitioned by
-    doc_id."""
-    pair_tbl = pa.concat_tables(
-        ray.get(pairs.to_arrow_refs()), promote_options="default"
+    1. Stream a BLOOM of the pair doc-ids to the driver (per-batch bit
+       arrays OR-merged: the driver holds bits, never an id set — this
+       replaces the old driver-side pair table + shingle dict).
+    2. Prune documents map-side through the broadcast bloom (~2×pairs
+       docs survive, plus a negligible false-positive tail that the
+       joins drop).
+    3. Two hash joins attach both texts to each pair.
+    4. Per-batch shingling + Jaccard, filter ≥ threshold.
+    """
+    from ..state.bloom import BloomShard
+
+    if num_partitions is None:
+        num_partitions = _default_partitions(8, 2)
+    a_type = None
+    sch = pairs.schema()
+    if sch is not None and "a" in sch.names:
+        a_type = sch.types[sch.names.index("a")]
+    empty = pa.table(
+        {
+            "a": pa.array([], a_type or pa.int64()),
+            "b": pa.array([], a_type or pa.int64()),
+            "jaccard": pa.array([], pa.float64()),
+        }
     )
-    if pair_tbl.num_rows == 0:
-        return ray.data.from_arrow(
-            pa.table(
-                {
-                    "a": pa.array([], pa.int64()),
-                    "b": pa.array([], pa.int64()),
-                    "jaccard": pa.array([], pa.float64()),
-                }
-            )
+    if pairs.count() == 0:
+        return ray.data.from_arrow(empty)
+
+    def batch_bloom(t: pa.Table) -> pa.Table:
+        sh = BloomShard(_VERIFY_BLOOM_BITS)
+        sh.set_seen(
+            [str(v) for v in t["a"].to_pylist()]
+            + [str(v) for v in t["b"].to_pylist()]
         )
-    needed = pa.concat_arrays(
-        [pair_tbl["a"].combine_chunks(), pair_tbl["b"].combine_chunks()]
-    ).unique()
+        return pa.table({"bits": pa.array([sh.bits.tobytes()], pa.binary())})
+
+    merged = np.zeros(_VERIFY_BLOOM_BITS // 8, dtype=np.uint8)
+    for part in ray.get(
+        pairs.map_batches(
+            batch_bloom, batch_format="pyarrow", batch_size=65536
+        ).to_arrow_refs()
+    ):
+        for blob in part["bits"].to_pylist():
+            merged |= np.frombuffer(blob, dtype=np.uint8)
+    bloom_ref = ray.put(merged)
 
     def filt(t: pa.Table) -> pa.Table:
-        return t.filter(pc.is_in(t["doc_id"], value_set=needed))
+        sh = BloomShard(_VERIFY_BLOOM_BITS)
+        sh.bits = ray.get(bloom_ref)  # probe() is read-only: zero-copy
+        mask = sh.probe([str(v) for v in t["doc_id"].to_pylist()])
+        return t.filter(pa.array(mask, pa.bool_()))
 
-    docs_tbl = pa.concat_tables(
-        ray.get(
-            documents.select_columns(["doc_id", "text"])
-            .map_batches(filt, batch_format="pyarrow")
-            .to_arrow_refs()
-        ),
-        promote_options="default",
+    # materialize the pruned docs ONCE (object store, ~2×pairs rows):
+    # both join sides consume the same blocks instead of re-scanning +
+    # re-filtering the documents per join
+    docs = (
+        documents.select_columns(["doc_id", "text"])
+        .map_batches(filt, batch_format="pyarrow")
+        .materialize()
     )
-    shingles: Dict = {
-        d: set(word_shingles(t, shingle_n))
-        for d, t in zip(docs_tbl["doc_id"].to_pylist(), docs_tbl["text"].to_pylist())
-    }
-    a_ids = pair_tbl["a"].to_pylist()
-    b_ids = pair_tbl["b"].to_pylist()
-    sims = [jaccard(shingles[a], shingles[b]) for a, b in zip(a_ids, b_ids)]
-    out = pa.table(
-        {
-            "a": pair_tbl["a"],
-            "b": pair_tbl["b"],
-            "jaccard": pa.array(sims, pa.float64()),
-        }
-    ).filter(pa.array([s >= threshold for s in sims]))
-    return ray.data.from_arrow(out)
+    with_a = pairs.join(
+        docs, "inner", num_partitions, on=("a",), right_on=("doc_id",)
+    ).map_batches(
+        lambda t: pa.table(
+            {"a": t["a"], "b": t["b"], "text_a": t["text"]}
+        ),
+        batch_format="pyarrow",
+    )
+    joined = with_a.join(
+        docs, "inner", num_partitions, on=("b",), right_on=("doc_id",)
+    )
+
+    def score(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        sims = [
+            jaccard(set(word_shingles(x, shingle_n)), set(word_shingles(y, shingle_n)))
+            for x, y in zip(t["text_a"].to_pylist(), t["text"].to_pylist())
+        ]
+        out = pa.table(
+            {"a": t["a"], "b": t["b"], "jaccard": pa.array(sims, pa.float64())}
+        )
+        return out.filter(
+            pc.greater_equal(out["jaccard"], pa.scalar(float(threshold)))
+        )
+
+    return joined.map_batches(score, batch_format="pyarrow")
 
 
 # --- embedding near-dup ---------------------------------------------------
