@@ -784,9 +784,112 @@ def q_simhash(sf_dir: str):
     return ds.map_batches(textstats.simhash64, batch_format="pyarrow")
 
 
+SQL_SIMHASH = """
+WITH w AS (
+  SELECT doc_id, list_distinct(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS ws
+  FROM documents
+), h AS (
+  SELECT doc_id, CAST(('0x' || substr(md5(unnest(ws)), 1, 16)) AS UBIGINT) AS hv
+  FROM w
+), acc AS (
+  SELECT doc_id, b.b AS b,
+         sum(CASE WHEN (hv >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM h, (SELECT unnest(range(64)) AS b) AS b
+  GROUP BY doc_id, b.b
+), sig AS (
+  SELECT doc_id,
+         sum(CASE WHEN s > 0 THEN CAST(1 AS HUGEINT) << b ELSE CAST(0 AS HUGEINT) END) AS raw
+  FROM acc GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(sig.raw, 0) - CAST('9223372036854775808' AS HUGEINT) AS BIGINT) AS simhash
+FROM documents d LEFT JOIN sig USING (doc_id)
+"""
+
+
+def q_minhash_bands(sf_dir: str):
+    """MinHash LSH banding with md5-derived hashes in a 2^32
+    permutation space — the oracle-checkable twin of the production
+    banding (stages/dedup.py MinHashLSH)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(dedup.minhash_bands_md5, batch_format="pyarrow")
+
+
+SQL_MINHASH_BANDS = """
+WITH w AS (
+  SELECT doc_id, regexp_extract_all(text, '[A-Za-z0-9_]+') AS ws FROM documents
+), g AS (
+  SELECT doc_id,
+         CASE WHEN len(ws) >= 3
+              THEN list_transform(range(1, len(ws) - 1),
+                                  i -> array_to_string(ws[i:i+2], ' '))
+              WHEN len(ws) > 0 THEN [array_to_string(ws, ' ')]
+              ELSE [] END AS grams
+  FROM w
+), s AS (
+  SELECT doc_id, unnest(grams) AS gram FROM g
+), h AS (
+  SELECT doc_id, CAST(('0x' || substr(md5('sh' || gram), 1, 8)) AS UBIGINT) AS hv
+  FROM s
+), p AS (
+  SELECT i,
+         CAST(('0x' || substr(md5('mh-a-' || i), 1, 8)) AS UBIGINT) | 1 AS a,
+         CAST(('0x' || substr(md5('mh-b-' || i), 1, 8)) AS UBIGINT) AS b
+  FROM (SELECT unnest(range(16)) AS i)
+), sig AS (
+  SELECT doc_id, p.i AS i, min((p.a * h.hv + p.b) % 4294967296) AS m
+  FROM h CROSS JOIN p GROUP BY doc_id, p.i
+)
+SELECT doc_id, CAST(i // 4 AS INT) AS band_id,
+       md5(CAST(i // 4 AS VARCHAR) || '-' ||
+           string_agg(m::VARCHAR, '-' ORDER BY i)) AS band_hash
+FROM sig GROUP BY doc_id, i // 4
+"""
+
+
 def q_knn_ivf(sf_dir: str):
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    return similarity.knn_ivf(ds, _query_vec(sf_dir), k=20, n_bits=4)
+    out = similarity.knn_ivf(
+        ds, _query_vec(sf_dir), k=20, n_bits=4, plane_hash="md5"
+    )
+
+    def round_sim(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"vec_id": t["vec_id"], "cosine_r": pc.round(t["cosine"], 4)}
+        )
+
+    return out.map_batches(round_sim, batch_format="pyarrow")
+
+
+SQL_KNN_IVF = """
+WITH planes AS (
+  SELECT b.b AS b,
+         list_transform(
+           range(0, (SELECT len(embedding) FROM embeddings LIMIT 1)),
+           d -> CAST(('0x' || substr(md5('lshp-42-' || b.b || '-' || d), 1, 8)) AS UBIGINT)
+                / 2147483648.0 - 1.0) AS plane
+  FROM (SELECT unnest(range(4)) AS b) AS b
+), q AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE vec_id = 0
+), qb AS (
+  SELECT sum(CASE WHEN list_dot_product((SELECT e FROM q), plane) > 0
+                  THEN 1 << b ELSE 0 END) AS qb
+  FROM planes
+), vb AS (
+  SELECT e.vec_id,
+         sum(CASE WHEN list_dot_product(CAST(e.embedding AS DOUBLE[]), plane) > 0
+                  THEN 1 << b ELSE 0 END) AS bucket
+  FROM embeddings e CROSS JOIN planes GROUP BY e.vec_id
+)
+SELECT e.vec_id,
+       round(CAST(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                         (SELECT e FROM q)) AS DOUBLE), 4) AS cosine_r
+FROM embeddings e JOIN vb USING (vec_id), qb
+WHERE bit_count(xor(vb.bucket, qb.qb)) <= 1
+ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), (SELECT e FROM q)) DESC,
+         e.vec_id
+LIMIT 20
+"""
 
 
 def q_media_decode(sf_dir: str):
@@ -834,11 +937,13 @@ def queries() -> Dict[str, Callable]:
         "ecc_contexts_sentences": ecc_contexts_sentences,
         "ecc_context_stats": ecc_context_stats,
         "ecc_crawl_log": ecc_crawl_log,
+        # sketches / ANN (md5-twinned, oracle-checked)
+        "q_simhash": q_simhash,
+        "q_minhash_bands": q_minhash_bands,
+        "q_knn_ivf": q_knn_ivf,
         # sketches / ANN / multimodal (rows-only; unit-tested)
         "q_minhash_neardup": q_minhash_neardup,
         "q_embedding_neardup_lsh": q_embedding_neardup_lsh,
-        "q_simhash": q_simhash,
-        "q_knn_ivf": q_knn_ivf,
         "q_media_decode": q_media_decode,
     }
 
@@ -863,6 +968,9 @@ def oracle_sql() -> Dict[str, str]:
         "q_fingerprint": SQL_FINGERPRINT,
         "q_jaccard_vs_doc0": SQL_JACCARD_VS_DOC0,
         "q_knn_cosine": SQL_KNN_COSINE,
+        "q_simhash": SQL_SIMHASH,
+        "q_minhash_bands": SQL_MINHASH_BANDS,
+        "q_knn_ivf": SQL_KNN_IVF,
         "q_embedding_neardup": SQL_EMBEDDING_NEARDUP,
         "q_events_hourly": SQL_EVENTS_HOURLY,
         "q_sessions": SQL_SESSIONS,

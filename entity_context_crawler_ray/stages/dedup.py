@@ -287,6 +287,60 @@ def minhash_candidates(
         )
 
 
+def minhash_bands_md5(
+    batch: pa.Table,
+    num_perm: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> pa.Table:
+    """Oracle-checkable MinHash banding: every hash is md5-derived and
+    the permutation space is 2^32, so DuckDB reproduces the exact
+    (doc_id, band_id, band_hash) rows (SQL_MINHASH_BANDS).  Docs with
+    zero words emit no rows (both sides agree).  The production LSH
+    path (MinHashLSH) keeps blake2b + 2^64; this variant exists to
+    hash-verify the banding ALGORITHM end-to-end against SQL."""
+    rows_per_band = num_perm // bands
+    M = 1 << 32
+    a = [
+        int(hashlib.md5(f"mh-a-{i}".encode()).hexdigest()[:8], 16) | 1
+        for i in range(num_perm)
+    ]
+    b = [
+        int(hashlib.md5(f"mh-b-{i}".encode()).hexdigest()[:8], 16)
+        for i in range(num_perm)
+    ]
+    out_id, out_band, out_hash = [], [], []
+    for doc_id, text in zip(batch[id_col].to_pylist(), batch[text_col].to_pylist()):
+        grams = word_shingles(text, shingle_n)
+        if not grams:
+            continue
+        hs = [
+            int(hashlib.md5(("sh" + g).encode()).hexdigest()[:8], 16) for g in grams
+        ]
+        hs_a = np.array(hs, dtype=np.uint64)
+        sig = [
+            int(((ai * hs_a + bi) % M).min()) for ai, bi in zip(a, b)
+        ]
+        for band in range(bands):
+            chunk = sig[band * rows_per_band : (band + 1) * rows_per_band]
+            out_id.append(doc_id)
+            out_band.append(band)
+            out_hash.append(
+                hashlib.md5(
+                    (str(band) + "-" + "-".join(str(v) for v in chunk)).encode()
+                ).hexdigest()
+            )
+    return pa.table(
+        {
+            id_col: pa.array(out_id, batch[id_col].type),
+            "band_id": pa.array(out_band, pa.int32()),
+            "band_hash": pa.array(out_hash, pa.string()),
+        }
+    )
+
+
 _VERIFY_BLOOM_BITS = 1 << 23  # 1 MiB of driver memory regardless of pair count
 
 

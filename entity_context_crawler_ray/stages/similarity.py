@@ -61,15 +61,36 @@ def knn_bruteforce(
 
 class SignLSH:
     """Random-projection sign-bit bucketing (deterministic planes from
-    blake2b seeds).  Vectors in the same bucket are ANN candidates."""
+    hash seeds).  Vectors in the same bucket are ANN candidates.
 
-    def __init__(self, dim: int, n_bits: int = 8, seed: int = 42):
+    ``plane_hash='md5'`` derives plane coordinates as
+    ``md5_u32('lshp-{seed}-{bit}-{dim}') / 2^31 - 1`` — exactly
+    reproducible in DuckDB SQL, enabling a hash-exact oracle for the
+    IVF probe filter (SQL_KNN_IVF); the default blake2b planes have
+    one more bit of resolution."""
+
+    def __init__(
+        self, dim: int, n_bits: int = 8, seed: int = 42, plane_hash: str = "blake2b"
+    ):
+        import hashlib
+
         rows = []
         for b in range(n_bits):
-            vals = [
-                (stable_hash64("lsh-plane", seed, b, d) / 2**63) - 1.0
-                for d in range(dim)
-            ]
+            if plane_hash == "md5":
+                vals = [
+                    int(
+                        hashlib.md5(f"lshp-{seed}-{b}-{d}".encode()).hexdigest()[:8],
+                        16,
+                    )
+                    / 2**31
+                    - 1.0
+                    for d in range(dim)
+                ]
+            else:
+                vals = [
+                    (stable_hash64("lsh-plane", seed, b, d) / 2**63) - 1.0
+                    for d in range(dim)
+                ]
             rows.append(vals)
         self.planes = np.asarray(rows, dtype=np.float64)
 
@@ -113,6 +134,7 @@ def knn_ivf(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    plane_hash: str = "blake2b",
 ) -> ray.data.Dataset:
     """Approximate top-k: probe only LSH buckets within
     ``n_probe_hamming`` bits of the query's bucket — the IVF-style
@@ -120,7 +142,7 @@ def knn_ivf(
     q = np.asarray(query, dtype=np.float64)
     qn = q / max(np.linalg.norm(q), 1e-12)
     dim = len(q)
-    lsh = SignLSH(dim, n_bits, seed)
+    lsh = SignLSH(dim, n_bits, seed, plane_hash)
     q_bucket = int(lsh.bucket(qn[None, :])[0])
     probe = {
         b

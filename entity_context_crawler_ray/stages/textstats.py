@@ -104,20 +104,21 @@ def fingerprint(batch: pa.Table, text_col: str = "text", shingle: int = 5) -> pa
 
 
 def simhash64(batch: pa.Table, text_col: str = "text") -> pa.Table:
-    """64-bit SimHash over word unigrams (blake2b word hashes):
-    bit b of the signature = sign of sum over words of (+1/-1)."""
+    """64-bit SimHash over distinct word unigrams: bit b of the
+    signature = sign of sum over words of (+1/-1) by bit b of the
+    word's 64-bit hash.  Word hash = first 8 bytes of md5 — md5 so the
+    DuckDB oracle (SQL_SIMHASH) computes the identical signature.
+    Stored as int64 with a -2^63 offset (no-word docs = -2^63)."""
     texts = batch[text_col].to_pylist()
     sigs = []
     for t in texts:
         ws = _WORD_RE.findall(t.lower())
         if not ws:
-            sigs.append(0)
+            sigs.append(-(1 << 63))
             continue
         acc = np.zeros(64, dtype=np.int64)
         for w in set(ws):
-            h = int.from_bytes(
-                hashlib.blake2b(w.encode("utf-8"), digest_size=8).digest(), "big"
-            )
+            h = int.from_bytes(hashlib.md5(w.encode("utf-8")).digest()[:8], "big")
             bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
             acc += np.where(bits.astype(bool), 1, -1)
         sig = 0
