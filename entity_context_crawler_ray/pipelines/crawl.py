@@ -103,11 +103,22 @@ class CrawlConfig:
     # 0 to force the bucketed path (what a 10^10-URL frontier runs).
     driver_threshold: int = 100_000
     # bucketed-frontier fan-out: num_politeness_shards × this many
-    # buckets (each bucket is one schedule task; scale with the cluster)
-    frontier_buckets_per_shard: int = 8
+    # buckets (each bucket is one schedule task + one file set per
+    # producer).  0 = auto: ~1 bucket per 8 cluster CPUs (measured:
+    # excess buckets cost more in per-task + bloom-RPC overhead than
+    # they buy in parallelism — 32 buckets ran 2× slower than 4 on a
+    # 32-CPU box; a 256-node cluster auto-sizes to ~1024).
+    frontier_buckets_per_shard: int = 0
 
     def num_frontier_buckets(self) -> int:
-        return self.num_politeness_shards * self.frontier_buckets_per_shard
+        per_shard = self.frontier_buckets_per_shard
+        if per_shard <= 0:
+            try:
+                cpus = int(ray.cluster_resources().get("CPU", 8))
+            except Exception:  # noqa: BLE001
+                cpus = 8
+            per_shard = max(1, cpus // (8 * self.num_politeness_shards))
+        return self.num_politeness_shards * per_shard
 
 
 # Worker-process-global cache: the crawl loop launches a fresh Dataset

@@ -94,8 +94,16 @@ def hash_join_bucketed(
             cols = {}
             for name, typ in unified:
                 cols[name] = t[name] if name in own else pa.nulls(n, typ)
+            # vectorized stable bucket ids: hash_pandas_object is a C
+            # kernel with a hardcoded key (process-stable), so both
+            # sides of the join bucket identically with no Python loop
             cols["__bucket"] = pa.array(
-                [stable_hash64("join-bucket", v) % num_buckets for v in t[key].to_pylist()],
+                (
+                    pd.util.hash_pandas_object(
+                        t[key].to_pandas(), index=False
+                    ).to_numpy()
+                    % num_buckets
+                ).astype("int32"),
                 pa.int32(),
             )
             cols["__side"] = pa.array([side] * n)

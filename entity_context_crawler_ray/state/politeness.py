@@ -20,7 +20,8 @@ cached decision instead of double-charging the bucket.
 
 from __future__ import annotations
 
-from typing import Dict, List, Sequence, Tuple
+import time
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
 
 import ray
 
@@ -28,28 +29,55 @@ from ..functions.hashing import stable_hash64
 
 
 class HostPolicy:
+    """Token bucket with two refill modes:
+
+    - round mode (default): ``refill`` tokens per crawl round — rounds
+      stand in for wall time in the dump-driven sandbox.
+    - wall-clock mode (``refill_per_sec`` set): tokens accrue with
+      elapsed ``clock()`` seconds — the live-fetch deployment mode.
+      ``clock`` defaults to ``time.time`` (comparable across process
+      restarts, so snapshots resume correctly); tests inject a fake.
+    """
+
     def __init__(
         self,
         capacity: int,
         refill: int,
         deny_prefixes: Tuple[str, ...] = (),
         crawl_budget: int | None = None,
+        refill_per_sec: Optional[float] = None,
+        clock: Optional[Callable[[], float]] = None,
     ):
         self.capacity = capacity
         self.refill = refill
+        self.refill_per_sec = refill_per_sec
+        self.clock = clock or time.time
         self.deny_prefixes = tuple(deny_prefixes)
         self.crawl_budget = crawl_budget
-        self.tokens = capacity
+        self.tokens: float = capacity
         self.fetched_total = 0
         self.last_round = -1
+        self.last_time: Optional[float] = None
+
+    def _refill_now(self, round_id: int) -> None:
+        if self.refill_per_sec is not None:
+            now = self.clock()
+            if self.last_time is not None:
+                elapsed = max(0.0, now - self.last_time)
+                self.tokens = min(
+                    self.capacity, self.tokens + elapsed * self.refill_per_sec
+                )
+            self.last_time = now
+            self.last_round = max(self.last_round, round_id)
+        elif round_id > self.last_round:
+            rounds = round_id - self.last_round if self.last_round >= 0 else 0
+            self.tokens = min(self.capacity, self.tokens + rounds * self.refill)
+            self.last_round = round_id
 
     def admit(self, round_id: int, urls_by_priority: Sequence[str]) -> Tuple[List[str], List[str], List[str]]:
         """-> (admitted, deferred, robots_denied). urls must arrive
         sorted by descending priority (tie-broken by url)."""
-        if round_id > self.last_round:
-            rounds = round_id - self.last_round if self.last_round >= 0 else 0
-            self.tokens = min(self.capacity, self.tokens + rounds * self.refill)
-            self.last_round = round_id
+        self._refill_now(round_id)
         allowed, denied = [], []
         for url in urls_by_priority:
             if any(url.startswith(p) for p in self.deny_prefixes):
@@ -60,7 +88,7 @@ class HostPolicy:
             room = max(0, self.crawl_budget - self.fetched_total)
             denied.extend(allowed[room:])
             allowed = allowed[:room]
-        take = min(self.tokens, len(allowed))
+        take = min(int(self.tokens), len(allowed))
         admitted, deferred = allowed[:take], allowed[take:]
         self.tokens -= take
         self.fetched_total += take
@@ -82,12 +110,14 @@ class HostPolicy:
 class PolitenessShard:
     """Holds HostPolicy state for every host hashing to this shard."""
 
-    def __init__(self, config: Dict):
+    def __init__(self, config: Dict, clock: Optional[Callable[[], float]] = None):
         # config: {"capacity": int, "refill": int,
+        #          "refill_per_sec": float | None (wall-clock mode),
         #          "deny": {host: [prefix,...]}, "budget": {host: int}}
         self.config = config
+        self.clock = clock
         self.hosts: Dict[str, HostPolicy] = {}
-        self._cache: Dict[Tuple[int, str], tuple] = {}
+        self._cache: Dict[tuple, tuple] = {}
 
     def _host(self, host: str) -> HostPolicy:
         if host not in self.hosts:
@@ -96,6 +126,8 @@ class PolitenessShard:
                 refill=self.config.get("refill", 1 << 30),
                 deny_prefixes=tuple(self.config.get("deny", {}).get(host, ())),
                 crawl_budget=self.config.get("budget", {}).get(host),
+                refill_per_sec=self.config.get("refill_per_sec"),
+                clock=self.clock,
             )
         return self.hosts[host]
 
@@ -167,6 +199,7 @@ class PolitenessShard:
                     "tokens": p.tokens,
                     "fetched_total": p.fetched_total,
                     "last_round": p.last_round,
+                    "last_time": p.last_time,
                 }
                 for h, p in self.hosts.items()
             },
@@ -181,6 +214,7 @@ class PolitenessShard:
             pol.tokens = st["tokens"]
             pol.fetched_total = st["fetched_total"]
             pol.last_round = st["last_round"]
+            pol.last_time = st.get("last_time")
 
 
 PolitenessShardActor = ray.remote(num_cpus=0)(PolitenessShard)

@@ -343,6 +343,44 @@ def test_host_policy_refund_restores_lifetime_budget():
     assert dfr + den == ["d"]
 
 
+def test_host_policy_wallclock_refill():
+    """Wall-clock refill mode (live-fetch deployments): tokens accrue
+    with elapsed clock seconds, capped at capacity — simulated time."""
+    now = [1000.0]
+    p = HostPolicy(capacity=4, refill=0, refill_per_sec=2.0, clock=lambda: now[0])
+    adm, dfr, _ = p.admit(0, ["a", "b", "c", "d", "e"])
+    assert adm == ["a", "b", "c", "d"] and dfr == ["e"]  # starts full
+    adm, dfr, _ = p.admit(1, ["e", "f"])
+    assert adm == [] and dfr == ["e", "f"]  # no time passed, no tokens
+    now[0] += 1.0  # 1s × 2 tokens/s = 2 tokens
+    adm, dfr, _ = p.admit(2, ["e", "f", "g"])
+    assert adm == ["e", "f"] and dfr == ["g"]
+    now[0] += 100.0  # long idle: capped at capacity
+    adm, dfr, _ = p.admit(3, ["g", "h", "i", "j", "k", "l"])
+    assert adm == ["g", "h", "i", "j"] and dfr == ["k", "l"]
+    # fractional accrual: 0.6s -> 1.2 tokens -> 1 whole token admitted
+    now[0] += 0.6
+    adm, dfr, _ = p.admit(4, ["k", "l"])
+    assert adm == ["k"] and dfr == ["l"]
+
+
+def test_politeness_shard_wallclock_snapshot_roundtrip():
+    from entity_context_crawler_ray.state.politeness import PolitenessShard
+
+    now = [50.0]
+    s = PolitenessShard(
+        {"capacity": 3, "refill": 0, "refill_per_sec": 1.0}, clock=lambda: now[0]
+    )
+    adm, _, _ = s.admit(0, "h", ["a", "b", "c", "d"])
+    assert adm == ["a", "b", "c"]
+    snap = s.snapshot()
+    s2 = PolitenessShard(snap["config"], clock=lambda: now[0])
+    s2.restore(snap)
+    now[0] += 2.0
+    adm, dfr, _ = s2.admit(1, "h", ["d", "e", "f"])
+    assert adm == ["d", "e"] and dfr == ["f"]  # 2s elapsed -> 2 tokens
+
+
 def test_politeness_shard_refund_idempotent():
     from entity_context_crawler_ray.state.politeness import PolitenessShard
 
