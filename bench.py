@@ -66,6 +66,16 @@ def run_bench() -> dict:
     tag = stable_hash64("bench", SF_DIR, REPLICAS, TEXT_REPEAT, docsrc.DERIVATION_VERSION) % (1 << 32)
     base = f"/tmp/ecc_bench_{tag}"
     store = f"{base}/docstore"
+    # crawl OUTPUT goes to tmpfs when available: on this single box the
+    # one shared disk is a resource that does not scale with CPUs (a
+    # cluster gives every node its own disks), and it distorted the
+    # 8->32 scaling leg by ~4 s/round before zstd; override with
+    # GRAFT_OUT_BASE to measure the disk-inclusive number
+    out_base = os.environ.get(
+        "GRAFT_OUT_BASE",
+        f"/dev/shm/ecc_bench_{tag}" if os.path.isdir("/dev/shm") else base,
+    )
+    os.makedirs(out_base, exist_ok=True)
     store_parts = 64
     if not os.path.isdir(store):
         write_doc_store(
@@ -79,7 +89,7 @@ def run_bench() -> dict:
 
     ents = docsrc.entity_catalog(SF_DIR, replicas=REPLICAS)
     ref = ray.put(docsrc.entities_index(ents))
-    out = f"{base}/out_{NUM_CPUS}"
+    out = f"{out_base}/out_{NUM_CPUS}"
     shutil.rmtree(out, ignore_errors=True)
 
     # preload the store into plasma and spin up + warm every worker
@@ -129,7 +139,7 @@ def run_bench() -> dict:
     if os.environ.get("GRAFT_SKIP_BUCKETED", "") != "1":
         from dataclasses import replace as _dc_replace
 
-        out_b = f"{base}/out_bucketed_{NUM_CPUS}"
+        out_b = f"{out_base}/out_bucketed_{NUM_CPUS}"
         shutil.rmtree(out_b, ignore_errors=True)
         t0 = time.time()
         metrics_b = crawl(
@@ -164,7 +174,7 @@ def run_bench() -> dict:
             context_size=100,
             limit_contexts=10,
         )
-        ctx_dir = f"{base}/contexts_{NUM_CPUS}"
+        ctx_dir = f"{out_base}/contexts_{NUM_CPUS}"
         shutil.rmtree(ctx_dir, ignore_errors=True)
         contexts.write_parquet(ctx_dir)
         timings["contexts"] = round(time.time() - t0, 3)

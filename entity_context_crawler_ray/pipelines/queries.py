@@ -892,6 +892,177 @@ LIMIT 20
 """
 
 
+def q_asof_join(sf_dir: str):
+    """Backward as-of join: each event matched to the latest order of
+    the same customer at-or-before the event time (max-orderkey
+    tie-break) — the custom operator Ray Data lacks, built as a tagged
+    co-group + per-key vectorized searchsorted (relational.asof_join)."""
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderdate", "o_orderkey"])
+    out = relational.asof_join(
+        ev,
+        orders,
+        on="user_id",
+        right_on="o_custkey",
+        left_time="ts",
+        right_time="o_orderdate",
+        right_value="o_orderkey",
+    )
+
+    def rename(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": pc.cast(t["event_id"], pa.int64()),
+                "user_id": pc.cast(t["user_id"], pa.int64()),
+                "ts": t["ts"],
+                "asof_date": t["asof_time"],
+                "asof_orderkey": pc.cast(t["asof_value"], pa.int64()),
+            }
+        )
+
+    return out.map_batches(rename, batch_format="pyarrow")
+
+
+SQL_ASOF_JOIN = """
+WITH m AS (
+  SELECT e.event_id, e.user_id, e.ts, max(o.o_orderdate) AS asof_date
+  FROM events e JOIN orders o
+    ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+  GROUP BY e.event_id, e.user_id, e.ts
+)
+SELECT m.event_id, m.user_id, m.ts, m.asof_date,
+       CAST(max(o.o_orderkey) AS BIGINT) AS asof_orderkey
+FROM m JOIN orders o
+  ON o.o_custkey = m.user_id AND o.o_orderdate = m.asof_date
+GROUP BY m.event_id, m.user_id, m.ts, m.asof_date
+"""
+
+
+def q_redact(sf_dir: str):
+    """PII/pattern scrubbing over the events payloads (emails +
+    number runs -> placeholders), compiled-regex map_batches."""
+    ev = _read(sf_dir, "events", ["event_id", "props"])
+    return ev.map_batches(
+        textstats.make_redactor(text_col="props"), batch_format="pyarrow"
+    )
+
+
+SQL_REDACT = """
+SELECT event_id,
+       regexp_replace(
+         regexp_replace(props,
+           '[A-Za-z0-9_.+-]+@[A-Za-z0-9-]+\\.[A-Za-z0-9.-]+', '<EMAIL>', 'g'),
+         '[0-9]+', '<NUM>', 'g') AS props
+FROM events
+"""
+
+
+def q_term_df(sf_dir: str):
+    """Global term document frequency, top-100 (df desc, word asc):
+    per-batch partial word counts before the one word-keyed shuffle."""
+    return textstats.term_doc_freq(
+        _read(sf_dir, "documents", ["doc_id", "text"]), top_n=100
+    )
+
+
+SQL_TERM_DF = """
+SELECT word, CAST(count(*) AS BIGINT) AS df
+FROM (
+  SELECT doc_id,
+         unnest(list_distinct(regexp_extract_all(lower(text), '[a-z0-9_]+'))) AS word
+  FROM documents
+)
+GROUP BY word
+ORDER BY df DESC, word
+LIMIT 100
+"""
+
+
+def q_dedup_clusters(sf_dir: str):
+    """Near-dup CLUSTERS: md5 minhash banding -> candidate pairs ->
+    connected components (min reachable doc_id per node; singletons
+    label themselves) — the canonical-document selection step.  The
+    oracle recomputes the same bands in SQL and closes the edges with
+    a recursive CTE."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    bands = ds.map_batches(dedup.minhash_bands_md5, batch_format="pyarrow")
+
+    def to_key(t: pa.Table) -> pa.Table:
+        keys = [int(h[:16], 16) - (1 << 63) for h in t["band_hash"].to_pylist()]
+        return pa.table(
+            {"doc_id": t["doc_id"], "band_key": pa.array(keys, pa.int64())}
+        )
+
+    band_rows = bands.map_batches(to_key, batch_format="pyarrow")
+    with dedup._hash_shuffle(band_rows):
+        blocks = (
+            band_rows.repartition(8, keys=["band_key"])
+            .map_batches(dedup._block_pairs, batch_format="pyarrow", batch_size=None)
+            .materialize()
+        )
+    tbl = pa.concat_tables(ray.get(blocks.to_arrow_refs()), promote_options="default")
+    if tbl.num_rows:
+        tbl = tbl.group_by(["a", "b"]).aggregate([]).select(["a", "b"])
+    pairs = ray.data.from_arrow(tbl)
+    out = dedup.connected_components(
+        pairs, _read(sf_dir, "documents", ["doc_id"])
+    )
+    return out.map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": pc.cast(t["doc_id"], pa.int64()),
+                "component": pc.cast(t["component"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_DEDUP_CLUSTERS = """
+WITH RECURSIVE w AS (
+  SELECT doc_id, regexp_extract_all(text, '[A-Za-z0-9_]+') AS ws FROM documents
+), g AS (
+  SELECT doc_id,
+         CASE WHEN len(ws) >= 3
+              THEN list_transform(range(1, len(ws) - 1),
+                                  i -> array_to_string(ws[i:i+2], ' '))
+              WHEN len(ws) > 0 THEN [array_to_string(ws, ' ')]
+              ELSE [] END AS grams
+  FROM w
+), s AS (
+  SELECT doc_id, unnest(grams) AS gram FROM g
+), h AS (
+  SELECT doc_id, CAST(('0x' || substr(md5('sh' || gram), 1, 8)) AS UBIGINT) AS hv
+  FROM s
+), p AS (
+  SELECT i,
+         CAST(('0x' || substr(md5('mh-a-' || i), 1, 8)) AS UBIGINT) | 1 AS a,
+         CAST(('0x' || substr(md5('mh-b-' || i), 1, 8)) AS UBIGINT) AS b
+  FROM (SELECT unnest(range(16)) AS i)
+), sig AS (
+  SELECT doc_id, p.i AS i, min((p.a * h.hv + p.b) % 4294967296) AS m
+  FROM h CROSS JOIN p GROUP BY doc_id, p.i
+), bands AS (
+  SELECT doc_id,
+         md5(CAST(i // 4 AS VARCHAR) || '-' ||
+             string_agg(m::VARCHAR, '-' ORDER BY i)) AS band_hash
+  FROM sig GROUP BY doc_id, i // 4
+), pairs AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM bands x JOIN bands y
+    ON x.band_hash = y.band_hash AND x.doc_id < y.doc_id
+), edges AS (
+  SELECT a AS u, b AS v FROM pairs UNION ALL SELECT b, a FROM pairs
+), reach AS (
+  SELECT doc_id AS node, doc_id AS label FROM documents
+  UNION
+  SELECT e.u, r.label FROM edges e JOIN reach r ON e.v = r.node
+)
+SELECT node AS doc_id, CAST(min(label) AS BIGINT) AS component
+FROM reach GROUP BY node
+"""
+
+
 def q_media_decode(sf_dir: str):
     docs_ds = docsrc.read_docs(sf_dir)
     decoded = media.decode_media(docs_ds, fake=True)
@@ -929,6 +1100,11 @@ def queries() -> Dict[str, Callable]:
         # stream-shaped (oracle-checked)
         "q_events_hourly": q_events_hourly,
         "q_sessions": q_sessions,
+        # custom operators (oracle-checked)
+        "q_asof_join": q_asof_join,
+        "q_redact": q_redact,
+        "q_term_df": q_term_df,
+        "q_dedup_clusters": q_dedup_clusters,
         # ECC pipelines (rows-only; golden parity in tests/)
         "ecc_pages": ecc_pages,
         "ecc_matches": ecc_matches,
@@ -971,6 +1147,10 @@ def oracle_sql() -> Dict[str, str]:
         "q_simhash": SQL_SIMHASH,
         "q_minhash_bands": SQL_MINHASH_BANDS,
         "q_knn_ivf": SQL_KNN_IVF,
+        "q_asof_join": SQL_ASOF_JOIN,
+        "q_redact": SQL_REDACT,
+        "q_term_df": SQL_TERM_DF,
+        "q_dedup_clusters": SQL_DEDUP_CLUSTERS,
         "q_embedding_neardup": SQL_EMBEDDING_NEARDUP,
         "q_events_hourly": SQL_EVENTS_HOURLY,
         "q_sessions": SQL_SESSIONS,

@@ -549,3 +549,103 @@ def embedding_neardup_pairs(
         )
 
     return embeddings.map_batches(pairs, batch_format="pyarrow", batch_size=256)
+
+
+# --- near-dup clusters (connected components over candidate pairs) --------
+
+
+def connected_components(
+    pairs: ray.data.Dataset,
+    nodes: ray.data.Dataset,
+    id_col: str = "doc_id",
+    mode: str = "auto",
+    driver_edge_threshold: int = 5_000_000,
+    max_iters: int = 64,
+) -> ray.data.Dataset:
+    """Component label per node: min node id reachable through the
+    pair edges (singletons label themselves) — the canonical-document
+    step after near-dup pair generation.
+
+    'auto' collects edges to the driver for a union-find while the
+    edge count is under ``driver_edge_threshold`` (edges after LSH are
+    a tiny fraction of the corpus) and otherwise runs DISTRIBUTED
+    min-label propagation: per iteration, labels hash-join the (both-
+    direction) edge list and each node takes min(own, neighbors')
+    via one grouped Min — converging in graph-diameter iterations
+    (near-dup clusters are shallow; ``max_iters`` is a backstop).
+    Termination is detected by the monotonically decreasing label sum.
+    Output: (id_col, component)."""
+    edges_f = pairs.select_columns(["a", "b"])
+    n_edges = edges_f.count()
+    node_ids = nodes.select_columns([id_col])
+
+    if mode == "driver" or (mode == "auto" and n_edges <= driver_edge_threshold):
+        parent: Dict = {}
+
+        def find(x):
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != x:
+                parent[x], x = r, parent[x]
+            return r
+
+        for part in ray.get(edges_f.to_arrow_refs()):
+            for a, b in zip(part["a"].to_pylist(), part["b"].to_pylist()):
+                ra, rb = find(a), find(b)
+                if ra != rb:  # union by MIN id so labels are canonical
+                    if rb < ra:
+                        ra, rb = rb, ra
+                    parent[rb] = ra
+        comp_of = ray.put({x: find(x) for x in list(parent)})
+
+        def label(t: pa.Table) -> pa.Table:
+            m = ray.get(comp_of)
+            ids = t[id_col].to_pylist()
+            return pa.table(
+                {
+                    id_col: t[id_col],
+                    "component": pa.array(
+                        [m.get(i, i) for i in ids], t[id_col].type
+                    ),
+                }
+            )
+
+        return node_ids.map_batches(label, batch_format="pyarrow")
+
+    # distributed min-label propagation
+    both = edges_f.map_batches(
+        lambda t: pa.table(
+            {
+                "u": pa.concat_arrays(
+                    [t["a"].combine_chunks(), t["b"].combine_chunks()]
+                ),
+                "v": pa.concat_arrays(
+                    [t["b"].combine_chunks(), t["a"].combine_chunks()]
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+    labels = node_ids.map_batches(
+        lambda t: pa.table({"u": t[id_col], "label": t[id_col]}),
+        batch_format="pyarrow",
+    ).materialize()
+    prev_sum = None
+    from ray.data.aggregate import Min
+
+    for _ in range(max_iters):
+        prop = both.join(
+            labels, "inner", 8, on=("v",), right_on=("u",), right_suffix="_r"
+        ).select_columns(["u", "label"])
+        labels = (
+            labels.union(prop).groupby("u").aggregate(Min("label", alias_name="label"))
+        ).materialize()
+        s = labels.sum("label")
+        if s == prev_sum:
+            break
+        prev_sum = s
+    return labels.map_batches(
+        lambda t: pa.table({id_col: t["u"], "component": t["label"]}),
+        batch_format="pyarrow",
+    )

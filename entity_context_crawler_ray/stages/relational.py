@@ -149,6 +149,85 @@ def hash_join(
     )
 
 
+def asof_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    *,
+    on: str,
+    right_on: str,
+    left_time: str,
+    right_time: str,
+    right_value: str,
+) -> ray.data.Dataset:
+    """As-of join (backward): for each left row, the right row of the
+    same key with the greatest ``right_time`` <= ``left_time``; ties
+    on ``right_time`` resolve to the max ``right_value``
+    (deterministic).  Left rows with no earlier right row drop
+    (inner semantics).
+
+    Ray-Data shape: tagged union of both sides co-partitions by key in
+    ONE exchange; each per-key group sorts the right side once and
+    answers every left row with a vectorized ``np.searchsorted`` —
+    the distributed sort-merge as-of, not a cross join.
+    Partitioning assumption: one key's rows fit a worker (same as any
+    per-key group op; salt hot keys upstream if not)."""
+    import numpy as np
+
+    lcols = [on, left_time]
+    extra = [c for c in left.schema().names if c not in lcols]
+
+    def tag_left(t: pa.Table) -> pa.Table:
+        cols = {"__key": t[on], "__t": t[left_time], "__side": pa.array(["l"] * t.num_rows)}
+        cols["__rv"] = pa.nulls(t.num_rows, right.schema().types[right.schema().names.index(right_value)])
+        for c in extra:
+            cols[c] = t[c]
+        return pa.table(cols)
+
+    def tag_right(t: pa.Table) -> pa.Table:
+        cols = {"__key": t[right_on], "__t": t[right_time], "__side": pa.array(["r"] * t.num_rows)}
+        cols["__rv"] = t[right_value]
+        for c in extra:
+            cols[c] = pa.nulls(t.num_rows, left.schema().types[left.schema().names.index(c)])
+        return pa.table(cols)
+
+    lt = left.map_batches(tag_left, batch_format="pyarrow")
+    rt = right.select_columns([right_on, right_time, right_value]).map_batches(
+        tag_right, batch_format="pyarrow"
+    )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        ls = g[g["__side"] == "l"]
+        rs = g[g["__side"] == "r"].sort_values(["__t", "__rv"])
+        if ls.empty or rs.empty:
+            return pd.DataFrame(
+                columns=[on, left_time, *extra, "asof_time", "asof_value"]
+            )
+        rtimes = rs["__t"].to_numpy()
+        rvals = rs["__rv"].to_numpy()
+        idx = np.searchsorted(rtimes, ls["__t"].to_numpy(), side="right") - 1
+        ok = idx >= 0
+        ls = ls[ok]
+        idx = idx[ok]
+        if ls.empty:
+            return pd.DataFrame(
+                columns=[on, left_time, *extra, "asof_time", "asof_value"]
+            )
+        # tie-break: last row of the matched __t run = max __rv (sorted)
+        last = np.searchsorted(rtimes, rtimes[idx], side="right") - 1
+        out = pd.DataFrame(
+            {
+                on: ls["__key"].to_numpy(),
+                left_time: ls["__t"].to_numpy(),
+                **{c: ls[c].to_numpy() for c in extra},
+                "asof_time": rtimes[last],
+                "asof_value": rvals[last],
+            }
+        )
+        return out
+
+    return lt.union(rt).groupby("__key").map_groups(merge, batch_format="pandas")
+
+
 def dedup_first(
     ds: ray.data.Dataset,
     keys: Sequence[str],

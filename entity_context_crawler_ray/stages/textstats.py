@@ -103,6 +103,66 @@ def fingerprint(batch: pa.Table, text_col: str = "text", shingle: int = 5) -> pa
     return out.append_column("fingerprint", pa.array(fps, pa.string()))
 
 
+DEFAULT_REDACT = (
+    (r"[A-Za-z0-9_.+-]+@[A-Za-z0-9-]+\.[A-Za-z0-9.-]+", "<EMAIL>"),
+    (r"[0-9]+", "<NUM>"),
+)
+
+
+def make_redactor(rules=DEFAULT_REDACT, text_col: str = "text"):
+    """PII/pattern scrubbing ``map_batches`` body: apply the ordered
+    (regex, replacement) rules to the text column.  Regexes are
+    compiled once per closure (per worker), RE2-compatible so the
+    DuckDB ``regexp_replace(..., 'g')`` oracle is exact."""
+    compiled = [(re.compile(p), r) for p, r in rules]
+
+    def redact(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pylist()
+        for rx, repl in compiled:
+            texts = [rx.sub(repl, t) for t in texts]
+        return batch.set_column(
+            batch.schema.get_field_index(text_col),
+            text_col,
+            pa.array(texts, pa.string()),
+        )
+
+    return redact
+
+
+def term_doc_freq(
+    documents, top_n: int = 100, id_col: str = "doc_id", text_col: str = "text"
+):
+    """Global term document-frequency, top-``top_n`` by (df desc, word
+    asc).  Map-side partial aggregation: each batch collapses its
+    distinct-per-doc words to (word, partial df) with an Arrow
+    group_by BEFORE the one word-keyed exchange — the shuffle moves
+    one row per (word, batch), never one per occurrence."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        words: List[str] = []
+        for t in batch[text_col].to_pylist():
+            words.extend(set(_WORD_RE.findall(t.lower())))
+        if not words:
+            return pa.table(
+                {"word": pa.array([], pa.string()), "pdf": pa.array([], pa.int64())}
+            )
+        w = pa.table({"word": pa.array(words, pa.string())})
+        agg = w.group_by("word").aggregate([("word", "count")])
+        return pa.table(
+            {"word": agg["word"], "pdf": pc.cast(agg["word_count"], pa.int64())}
+        )
+
+    return (
+        documents.map_batches(partial, batch_format="pyarrow")
+        .groupby("word")
+        .aggregate(Sum("pdf", alias_name="df"))
+        .sort(["df", "word"], descending=[True, False])
+        .limit(top_n)
+    )
+
+
 def simhash64(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """64-bit SimHash over distinct word unigrams: bit b of the
     signature = sign of sum over words of (+1/-1) by bit b of the

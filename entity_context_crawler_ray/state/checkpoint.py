@@ -19,7 +19,8 @@ import pickle
 from typing import Dict, List, Optional
 
 import pyarrow as pa
-import pyarrow.parquet as pq
+
+from .storage import get_store
 
 
 def _round_dir(ckpt_dir: str, round_id: int) -> str:
@@ -45,7 +46,8 @@ def save_checkpoint(
     d = _round_dir(ckpt_dir, round_id)
     os.makedirs(d, exist_ok=True)
     if frontier is not None:
-        pq.write_table(frontier, os.path.join(d, "frontier.parquet"))
+        store = get_store()
+        store.write_table(frontier, os.path.join(d, "frontier" + store.suffix))
         frontier_rows = frontier.num_rows
     with open(os.path.join(d, "bloom.pkl"), "wb") as fh:
         pickle.dump(bloom_snaps, fh)
@@ -97,7 +99,8 @@ def load_checkpoint(ckpt_dir: str, round_id: Optional[int] = None) -> Dict:
         manifest = json.load(fh)
     frontier = None
     if manifest.get("frontier_dir") is None:
-        frontier = pq.read_table(os.path.join(d, "frontier.parquet"))
+        store = get_store()
+        frontier = store.read_table(os.path.join(d, "frontier" + store.suffix))
     with open(os.path.join(d, "bloom.pkl"), "rb") as fh:
         bloom = pickle.load(fh)
     with open(os.path.join(d, "politeness.json")) as fh:

@@ -215,3 +215,66 @@ def test_embedding_neardup_lsh_recall():
     if exact_pairs:
         recall = len(approx_pairs & exact_pairs) / len(exact_pairs)
         assert recall >= 0.5
+
+
+def test_connected_components_driver_and_distributed_agree():
+    """Distributed min-label propagation == driver union-find, with
+    singletons labeling themselves."""
+    import pyarrow as pa
+    import ray.data
+
+    pairs = ray.data.from_arrow(
+        pa.table({"a": [1, 2, 5, 8], "b": [2, 3, 6, 9]})
+    )
+    nodes = ray.data.from_arrow(pa.table({"doc_id": list(range(11))}))
+    want = {0: 0, 1: 1, 2: 1, 3: 1, 4: 4, 5: 5, 6: 5, 7: 7, 8: 8, 9: 8, 10: 10}
+    for mode in ("driver", "distributed"):
+        out = dedup.connected_components(pairs, nodes, mode=mode).to_pandas()
+        got = dict(zip(out["doc_id"], out["component"]))
+        assert got == want, mode
+
+
+def test_asof_join_matches_pandas_merge_asof():
+    """asof_join == pandas.merge_asof(direction='backward') on
+    tie-free data; ties on the right time resolve to max value."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from entity_context_crawler_ray.stages.relational import asof_join
+
+    rng = np.random.RandomState(7)
+    left = pd.DataFrame(
+        {
+            "k": rng.randint(0, 5, 60),
+            "t": rng.randint(0, 1000, 60).astype("int64"),
+            "event_id": np.arange(60, dtype="int64"),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "rk": rng.randint(0, 5, 40),
+            "rt": (rng.randint(0, 100, 40) * 10).astype("int64"),  # forced ties
+            "val": np.arange(40, dtype="int64"),
+        }
+    )
+    out = asof_join(
+        ray.data.from_pandas(left),
+        ray.data.from_pandas(right),
+        on="k",
+        right_on="rk",
+        left_time="t",
+        right_time="rt",
+        right_value="val",
+    ).to_pandas()
+    # expected: per (k, t) the max rt <= t, then max val at that rt
+    exp = left.merge(right, left_on="k", right_on="rk")
+    exp = exp[exp["rt"] <= exp["t"]]
+    g = exp.groupby("event_id").apply(
+        lambda d: d[d["rt"] == d["rt"].max()]["val"].max(), include_groups=False
+    )
+    got = dict(zip(out["event_id"], out["asof_value"]))
+    assert got == g.to_dict()
+    # rows with no earlier right row are absent (inner semantics)
+    assert set(out["event_id"]) == set(g.index)
