@@ -145,6 +145,7 @@ def cmd_build_contexts(args) -> int:
         crop_sentences=args.crop_sentences,
         limit_contexts=args.limit_contexts,
         limit_entities=args.limit_entities,
+        order_mode=args.order_mode,
         seed=args.random_seed,
     ).materialize()
     os.makedirs(args.out, exist_ok=True)  # an empty result is still a store
@@ -227,6 +228,15 @@ def main(argv: Optional[List[str]] = None) -> int:
     p2.add_argument("--csv-file", dest="csv_file", default=None)
     p2.add_argument("--limit-contexts", dest="limit_contexts", type=int, default=None)
     p2.add_argument("--limit-entities", dest="limit_entities", type=int, default=None)
+    p2.add_argument(
+        "--order-mode",
+        dest="order_mode",
+        choices=["stable-hash", "reference-shuffle"],
+        default="stable-hash",
+        help="--limit-entities selection order: partition-independent "
+        "seeded hash (default) or bit-compatible reference "
+        "random.shuffle walk",
+    )
     p2.add_argument("--overwrite", action="store_true")
 
     p3 = sub.add_parser("crawl")

@@ -205,6 +205,37 @@ def _make_group_fn(
     return per_entity
 
 
+def reference_shuffle_selection(
+    entity_ids_in_file_order: list,
+    in_id_map: set,
+    has_page: set,
+    limit_entities: int,
+    seed,
+) -> set:
+    """Bit-compatible reproduction of the reference's --limit-entities
+    walk: global rng seeded with the raw seed STRING
+    (reference __main__.py:65-66), ``random.shuffle`` of the entity
+    items in file order (cmd/build_contexts_db.py:188-189), id_map
+    skip BEFORE the stop check (:193-194), early stop on enumerate
+    index EQUALITY (:197-199 — a skipped boundary index disables it,
+    faithfully reproduced), empty-URL skip after (:201-204)."""
+    import random as _random
+
+    items = list(entity_ids_in_file_order)
+    rnd = _random.Random()
+    rnd.seed(str(seed))
+    rnd.shuffle(items)
+    allowed = set()
+    for entity_count, eid in enumerate(items):
+        if eid not in in_id_map:
+            continue
+        if limit_entities and entity_count == limit_entities:
+            break
+        if eid in has_page:
+            allowed.add(eid)
+    return allowed
+
+
 def build_contexts(
     combined: ray.data.Dataset,
     entities: pa.Table,
@@ -216,9 +247,26 @@ def build_contexts(
     limit_contexts: Optional[int] = None,
     limit_entities: Optional[int] = None,
     seed: int = 42,
+    order_mode: str = "stable-hash",
 ) -> ray.data.Dataset:
     """combined store (or a (title, clean_text, matches) projection of
-    it) -> contexts Dataset (lazy)."""
+    it) -> contexts Dataset (lazy).
+
+    ``order_mode`` governs which entities --limit-entities keeps:
+
+    - 'stable-hash' (default): first N by seeded stable hash —
+      partition/iteration-order independent (SURVEY.md §4).
+    - 'reference-shuffle': bit-compatible with the reference's
+      ``random.seed(str) + random.shuffle(entities-in-file-order)``
+      walk (cmd/build_contexts_db.py:188-204), INCLUDING its quirks:
+      the early-stop compares the enumerate index — counting id_map
+      misses — for exact equality, so a skipped boundary index
+      disables the stop; empty-URL entities consume a slot after the
+      stop check.  Per-entity CONTEXT sampling stays seeded-stable in
+      both modes: the reference shuffles context rows drawn in
+      matches-db insertion order, which its own process pool makes
+      nondeterministic (cmd/build_matches_db.py:162-163), so there is
+      no reference bit-stream to match."""
     # eligible entities: in id_map (semi-join drop, reference :193-194)
     # with a non-empty page_title (empty-URL skip, reference :201-204)
     rid_of = dict(
@@ -233,13 +281,24 @@ def build_contexts(
         if title and eid in rid_of:
             eid_info[eid] = (rid_of[eid], label)
 
-    # --limit-entities: first N eligible entities in seeded order
-    # (conformance definition per SURVEY.md §4: seeded stable order,
-    # not global random state)
     allowed = None
     if limit_entities is not None:
-        ordered = sorted(eid_info, key=lambda e: stable_hash64("entity-order", seed, e))
-        allowed = set(ordered[:limit_entities])
+        if order_mode == "reference-shuffle":
+            allowed = reference_shuffle_selection(
+                entities["entity_id"].to_pylist(),
+                set(rid_of),
+                set(eid_info),
+                limit_entities,
+                seed,
+            )
+        else:
+            # first N eligible entities in seeded stable-hash order
+            # (conformance definition per SURVEY.md §4: independent of
+            # partitioning and iteration order)
+            ordered = sorted(
+                eid_info, key=lambda e: stable_hash64("entity-order", seed, e)
+            )
+            allowed = set(ordered[:limit_entities])
 
     lookup_ref = ray.put(
         {

@@ -80,6 +80,9 @@ class CrawlConfig:
     round_budget: int = 1 << 30
     capacity: int = 1 << 30          # politeness bucket capacity (tokens)
     refill: int = 1 << 30            # tokens refilled per round
+    # wall-clock politeness (live-fetch deployments): tokens/sec accrual
+    # replaces the per-round refill when set (state/politeness.py)
+    refill_per_sec: Optional[float] = None
     deny: Dict[str, List[str]] = field(default_factory=dict)    # host -> url prefixes
     host_budget: Dict[str, int] = field(default_factory=dict)   # host -> lifetime cap
     num_bloom_shards: int = 4
@@ -716,6 +719,7 @@ def crawl(
     pol_cfg = {
         "capacity": config.capacity,
         "refill": config.refill,
+        "refill_per_sec": config.refill_per_sec,
         "deny": config.deny,
         "budget": config.host_budget,
     }

@@ -26,7 +26,7 @@ import ray.data
 
 from ..functions.hashing import stable_hash64
 from ..functions.text import TOKEN_PATTERN, clean_up_text, sql_window
-from ..stages import dedup, media, relational, similarity, textstats, windows
+from ..stages import dedup, media, relational, similarity, stats, textstats, windows
 from ..sources import docs as docsrc
 
 # ---------------------------------------------------------------------------
@@ -1063,6 +1063,42 @@ FROM reach GROUP BY node
 """
 
 
+def q_quantiles(sf_dir: str):
+    """EXACT distributed quantiles by histogram-refinement selection
+    (stages/stats.py) — no global sort; rank rule floor(q*(n-1))."""
+    ds = _read(sf_dir, "orders", ["o_totalprice"])
+    return stats.quantiles_exact(ds, "o_totalprice", [0.25, 0.5, 0.75, 0.9])
+
+
+SQL_QUANTILES = """
+WITH s AS (
+  SELECT o_totalprice AS v,
+         row_number() OVER (ORDER BY o_totalprice) - 1 AS r
+  FROM orders
+), n AS (SELECT count(*) AS c FROM orders),
+qs AS (SELECT CAST(unnest([0.25, 0.5, 0.75, 0.9]) AS DOUBLE) AS q)
+SELECT qs.q AS q, s.v AS value
+FROM qs CROSS JOIN n
+JOIN s ON s.r = CAST(floor(qs.q * (n.c - 1)) AS BIGINT)
+"""
+
+
+_SAMPLE_THRESHOLD = int(0.1 * stats.U64)
+
+
+def q_sample(sf_dir: str):
+    """Deterministic 10%% hash sample of documents by doc_id."""
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    return stats.sample_fraction(ds, "doc_id", 0.1)
+
+
+SQL_SAMPLE = f"""
+SELECT doc_id, n_chars FROM documents
+WHERE CAST(('0x' || substr(md5('sample' || CAST(doc_id AS VARCHAR)), 1, 16)) AS UBIGINT)
+      < {_SAMPLE_THRESHOLD}
+"""
+
+
 def q_media_decode(sf_dir: str):
     docs_ds = docsrc.read_docs(sf_dir)
     decoded = media.decode_media(docs_ds, fake=True)
@@ -1105,6 +1141,8 @@ def queries() -> Dict[str, Callable]:
         "q_redact": q_redact,
         "q_term_df": q_term_df,
         "q_dedup_clusters": q_dedup_clusters,
+        "q_quantiles": q_quantiles,
+        "q_sample": q_sample,
         # ECC pipelines (rows-only; golden parity in tests/)
         "ecc_pages": ecc_pages,
         "ecc_matches": ecc_matches,
@@ -1151,6 +1189,8 @@ def oracle_sql() -> Dict[str, str]:
         "q_redact": SQL_REDACT,
         "q_term_df": SQL_TERM_DF,
         "q_dedup_clusters": SQL_DEDUP_CLUSTERS,
+        "q_quantiles": SQL_QUANTILES,
+        "q_sample": SQL_SAMPLE,
         "q_embedding_neardup": SQL_EMBEDDING_NEARDUP,
         "q_events_hourly": SQL_EVENTS_HOURLY,
         "q_sessions": SQL_SESSIONS,

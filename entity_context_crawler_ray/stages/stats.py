@@ -1,0 +1,194 @@
+"""Distributed order statistics + deterministic sampling.
+
+- ``quantiles_exact``: EXACT quantiles of a numeric column by
+  iterative histogram refinement (distributed selection): each pass is
+  one ``map_batches`` sweep emitting per-window bin counts; the driver
+  narrows every target rank's value window to its containing bin until
+  the candidate rows fit a bounded collect, then takes the exact
+  rank-th element.  No global sort — the classic external-selection
+  shape (passes = O(log_bins(range)), each a streaming scan).
+- ``sample_fraction``: deterministic hash sampling — keep rows whose
+  md5-derived u64 of the key is under floor(p·2^64); partition- and
+  order-independent, exactly reproducible in SQL (SQL_SAMPLE).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from typing import List, Sequence
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+U64 = 1 << 64
+
+
+def quantiles_exact(
+    ds: ray.data.Dataset,
+    col: str,
+    qs: Sequence[float],
+    num_bins: int = 1024,
+    collect_limit: int = 1_000_000,
+    max_refine: int = 6,
+) -> pa.Table:
+    """-> pa.Table (q, value): value = sorted(col)[floor(q·(n-1))]
+    (lower-interpolation rule, mirrored by the SQL oracle's
+    row_number selection).  Driver memory: O(num_bins × len(qs)) per
+    pass + one ≤ ``collect_limit`` collect at the end."""
+    from ray.data.aggregate import Count, Max, Min
+
+    stats = ds.aggregate(Min(col), Max(col), Count())
+    n = int(stats["count()"])
+    empty = pa.table(
+        {"q": pa.array([], pa.float64()), "value": pa.array([], pa.float64())}
+    )
+    if n == 0:
+        return empty
+    lo0 = float(stats[f"min({col})"])
+    hi0 = float(stats[f"max({col})"])
+
+    # window per target rank: [lo, hi) (closed at hi only while it is
+    # the global max), the rank offset WITHIN the window, candidates
+    wins = {}
+    done = {}
+    for i, q in enumerate(qs):
+        r = min(n - 1, int(math.floor(float(q) * (n - 1))))
+        wins[i] = [lo0, hi0, True, r, n]  # lo, hi, closed, offset, cand
+
+    for _ in range(max_refine):
+        live = {i: w for i, w in wins.items() if i not in done}
+        if not live:
+            break
+        for i, w in list(live.items()):
+            if w[0] == w[1]:  # zero-width: every candidate equals lo
+                done[i] = w[0]
+                del live[i]
+        if not live or sum(w[4] for w in live.values()) <= collect_limit:
+            break
+        edges = {
+            i: np.linspace(w[0], w[1], num_bins + 1) for i, w in live.items()
+        }
+        spec = [(i, w[0], w[1], w[2], edges[i]) for i, w in live.items()]
+
+        def hist(batch: pa.Table) -> pa.Table:
+            v = np.asarray(batch[col].to_numpy(zero_copy_only=False), dtype=np.float64)
+            out_w: List[int] = []
+            out_b: List[int] = []
+            out_c: List[int] = []
+            for wi, wlo, whi, closed, e in spec:
+                mask = (v >= wlo) & ((v <= whi) if closed else (v < whi))
+                if mask.any():
+                    counts, _ = np.histogram(v[mask], bins=e)
+                    nz = np.nonzero(counts)[0]
+                    out_w.extend([wi] * len(nz))
+                    out_b.extend(nz.tolist())
+                    out_c.extend(counts[nz].tolist())
+            return pa.table(
+                {
+                    "win": pa.array(out_w, pa.int32()),
+                    "bin": pa.array(out_b, pa.int32()),
+                    "cnt": pa.array(out_c, pa.int64()),
+                }
+            )
+
+        parts = ray.get(
+            ds.map_batches(hist, batch_format="pyarrow").to_arrow_refs()
+        )
+        merged = pa.concat_tables(parts).group_by(["win", "bin"]).aggregate(
+            [("cnt", "sum")]
+        )
+        by_win = {}
+        for wi, b, c in zip(
+            merged["win"].to_pylist(),
+            merged["bin"].to_pylist(),
+            merged["cnt_sum"].to_pylist(),
+        ):
+            by_win.setdefault(wi, np.zeros(num_bins, dtype=np.int64))[b] = c
+        for i in list(live):
+            counts = by_win.get(i)
+            w = wins[i]
+            if counts is None:
+                done[i] = w[0]
+                continue
+            cum = np.cumsum(counts)
+            b = int(np.searchsorted(cum, w[3] + 1))
+            prev = int(cum[b - 1]) if b > 0 else 0
+            e = edges[i]
+            last = b == num_bins - 1
+            wins[i] = [
+                float(e[b]),
+                float(e[b + 1]),
+                w[2] and last,  # right-closed only while it holds the max
+                w[3] - prev,
+                int(counts[b]),
+            ]
+
+    # final bounded collect: (win, v) rows for every live window
+    live = {i: w for i, w in wins.items() if i not in done}
+    if live:
+        spec2 = [(i, w[0], w[1], w[2]) for i, w in live.items()]
+
+        def collect(batch: pa.Table) -> pa.Table:
+            v = np.asarray(batch[col].to_numpy(zero_copy_only=False), dtype=np.float64)
+            out_w: List[int] = []
+            out_v: List[float] = []
+            for wi, wlo, whi, closed in spec2:
+                mask = (v >= wlo) & ((v <= whi) if closed else (v < whi))
+                vv = v[mask]
+                out_w.extend([wi] * len(vv))
+                out_v.extend(vv.tolist())
+            return pa.table(
+                {
+                    "win": pa.array(out_w, pa.int32()),
+                    "v": pa.array(out_v, pa.float64()),
+                }
+            )
+
+        parts = pa.concat_tables(
+            ray.get(ds.map_batches(collect, batch_format="pyarrow").to_arrow_refs())
+        )
+        for i, w in live.items():
+            vals = np.sort(
+                parts.filter(pa.compute.equal(parts["win"], i))["v"].to_numpy(
+                    zero_copy_only=False
+                )
+            )
+            done[i] = float(vals[w[3]])
+
+    return pa.table(
+        {
+            "q": pa.array([float(q) for q in qs], pa.float64()),
+            "value": pa.array([done[i] for i in range(len(qs))], pa.float64()),
+        }
+    )
+
+
+def _sample_u64(key: str, salt: str) -> int:
+    return int.from_bytes(
+        hashlib.md5((salt + key).encode("utf-8")).digest()[:8], "big"
+    )
+
+
+def sample_fraction(
+    ds: ray.data.Dataset, key_col: str, p: float, salt: str = "sample"
+) -> ray.data.Dataset:
+    """Deterministic ~p-fraction sample: keep rows with
+    md5_u64(salt ‖ str(key)) < floor(p·2^64).  Same key -> same
+    decision on any partitioning / ordering / cluster size; the SQL
+    twin is exact (see SQL_SAMPLE in queries.py)."""
+    threshold = int(p * U64)
+
+    def filt(batch: pa.Table) -> pa.Table:
+        mask = pa.array(
+            [
+                _sample_u64(str(k), salt) < threshold
+                for k in batch[key_col].to_pylist()
+            ],
+            pa.bool_(),
+        )
+        return batch.filter(mask)
+
+    return ds.map_batches(filt, batch_format="pyarrow")

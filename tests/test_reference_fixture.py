@@ -195,3 +195,101 @@ def test_real_fixture_contexts_db_invariants(matches_store):
     with open(f"{BASE}/contexts.csv") as fh:
         lines = [l for l in fh.read().splitlines() if l]
     assert len(lines) > 0 and all("," in l for l in lines)
+
+
+def test_reference_shuffle_selection_bit_parity():
+    """reference_shuffle_selection reproduces the reference's exact
+    --limit-entities mechanics (random.seed(str) + shuffle + skip /
+    equality-stop quirks), simulated here straight from
+    cmd/build_contexts_db.py:188-204 / __main__.py:65-66."""
+    import json
+    import random
+
+    from entity_context_crawler_ray.pipelines.build_contexts import (
+        reference_shuffle_selection,
+    )
+    from entity_context_crawler_ray.sources.reference_inputs import (
+        load_entities_json,
+        load_mid2rid_txt,
+    )
+
+    with open(f"{REF_DATA}/entities.json") as fh:
+        freebase_data = json.load(fh)
+    mid2rid = set(load_mid2rid_txt(f"{REF_DATA}/irt-ids.txt")["entity_id"].to_pylist())
+
+    # faithful simulation of the reference loop
+    def simulate(limit_entities, seed_str):
+        random.seed(seed_str)
+        freebase_items = list(freebase_data.items())
+        random.shuffle(freebase_items)
+        processed = set()
+        for entity_count, (mid, entity_data) in enumerate(freebase_items):
+            if mid not in mid2rid:
+                continue
+            if limit_entities and entity_count == limit_entities:
+                break
+            if not entity_data["wikipedia"]:
+                continue
+            processed.add(mid)
+        return processed
+
+    ents = load_entities_json(f"{REF_DATA}/entities.json")
+    ids = ents["entity_id"].to_pylist()
+    has_page = {
+        e for e, t in zip(ids, ents["page_title"].to_pylist()) if t and e in mid2rid
+    }
+    for limit, seed in [(50, 42), (200, 7), (5, 42)]:
+        got = reference_shuffle_selection(ids, mid2rid, has_page, limit, seed)
+        assert got == simulate(limit, str(seed)), (limit, seed)
+
+
+def test_reference_shuffle_mode_cli(matches_store):
+    """--order-mode reference-shuffle end-to-end on the real fixture:
+    every produced entity is inside the bit-compatible selection."""
+    import json
+
+    from entity_context_crawler_ray.__main__ import main
+    from entity_context_crawler_ray.pipelines.build_contexts import (
+        reference_shuffle_selection,
+    )
+    from entity_context_crawler_ray.sources.reference_inputs import (
+        load_entities_json,
+        load_mid2rid_txt,
+    )
+
+    out = f"{BASE}/contexts_refshuffle"
+    shutil.rmtree(out, ignore_errors=True)
+    rc = main(
+        [
+            "--random-seed",
+            "42",
+            "build-contexts-db",
+            f"{REF_DATA}/entities.json",
+            f"{REF_DATA}/irt-ids.txt",
+            matches_store,
+            out,
+            "--context-size",
+            "500",
+            "--limit-entities",
+            "400",
+            "--order-mode",
+            "reference-shuffle",
+        ]
+    )
+    assert rc == 0
+    ents = load_entities_json(f"{REF_DATA}/entities.json")
+    mid2rid = set(load_mid2rid_txt(f"{REF_DATA}/irt-ids.txt")["entity_id"].to_pylist())
+    ids = ents["entity_id"].to_pylist()
+    has_page = {
+        e for e, t in zip(ids, ents["page_title"].to_pylist()) if t and e in mid2rid
+    }
+    allowed = reference_shuffle_selection(ids, mid2rid, has_page, 400, 42)
+    # the contexts 'entity' column stores the RID (reference contexts
+    # schema, dao/contexts_db.py) — map the allowed MIDs to rids
+    id_map_tbl = load_mid2rid_txt(f"{REF_DATA}/irt-ids.txt")
+    rid_of = dict(
+        zip(id_map_tbl["entity_id"].to_pylist(), id_map_tbl["rid"].to_pylist())
+    )
+    allowed_rids = {rid_of[e] for e in allowed}
+    got = set(pq.read_table(out)["entity"].to_pylist()) if os.listdir(out) else set()
+    assert got and got <= allowed_rids

@@ -278,3 +278,42 @@ def test_asof_join_matches_pandas_merge_asof():
     assert got == g.to_dict()
     # rows with no earlier right row are absent (inner semantics)
     assert set(out["event_id"]) == set(g.index)
+
+
+def test_quantiles_exact_matches_numpy():
+    """Histogram-refinement selection == numpy lower-interpolation
+    quantiles, including a heavy-duplicate column that forces the
+    zero-width-bin shortcut."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from entity_context_crawler_ray.stages.stats import quantiles_exact
+
+    rng = np.random.RandomState(3)
+    vals = np.concatenate(
+        [rng.exponential(100.0, 5000), np.full(2000, 7.25)]
+    )  # skew + duplicates
+    ds = ray.data.from_arrow(pa.table({"x": vals})).repartition(8)
+    qs = [0.1, 0.5, 0.9, 0.99]
+    out = quantiles_exact(ds, "x", qs, num_bins=64, collect_limit=500)
+    got = dict(zip(out["q"].to_pylist(), out["value"].to_pylist()))
+    srt = np.sort(vals)
+    for q in qs:
+        want = float(srt[int(np.floor(q * (len(vals) - 1)))])
+        assert got[q] == want, q
+
+
+def test_sample_fraction_deterministic_and_partition_independent():
+    import pyarrow as pa
+    import ray.data
+
+    from entity_context_crawler_ray.stages.stats import sample_fraction
+
+    t = pa.table({"k": list(range(2000))})
+    a = sample_fraction(ray.data.from_arrow(t), "k", 0.2).to_pandas()
+    b = sample_fraction(
+        ray.data.from_arrow(t).repartition(7), "k", 0.2
+    ).to_pandas()
+    assert sorted(a["k"]) == sorted(b["k"])
+    assert 0.15 < len(a) / 2000 < 0.25
