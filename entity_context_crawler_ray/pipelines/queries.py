@@ -187,7 +187,7 @@ def q_revenue_by_nation(sf_dir: str):
     per_cust = orders.map_batches(partial, batch_format="pyarrow")
     customer = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
     joined = relational.hash_join(
-        per_cust, customer, on="o_custkey", right_on="c_custkey", num_partitions=16
+        per_cust, customer, on="o_custkey", right_on="c_custkey"
     )
     nation = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
     with_nation = relational.broadcast_inner_join(

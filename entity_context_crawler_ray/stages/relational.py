@@ -134,12 +134,18 @@ def hash_join(
     right: ray.data.Dataset,
     on: str,
     right_on: Optional[str] = None,
-    num_partitions: int = 16,
+    num_partitions: Optional[int] = None,
 ) -> ray.data.Dataset:
     """Distributed hash join via the native ``Dataset.join``
     (hash-partitioned on the key) — the production path; the explicit
     ``hash_join_bucketed`` above is the portable pattern for engines
-    without a native join and documents the exchange."""
+    without a native join and documents the exchange.  Partition
+    count defaults to ~cluster CPUs / 8 (each partition is an
+    aggregator actor; 4 beat 16 by ~20%% on the 32-CPU box)."""
+    if num_partitions is None:
+        from .dedup import _default_partitions
+
+        num_partitions = _default_partitions(8, 2)
     return left.join(
         right,
         join_type="inner",

@@ -438,3 +438,21 @@ def test_crawl_depth2_matches_simulator(store_and_inputs):
     assert list(zip(log["round"], log["rank"], log["url"])) == sim["fetch_log"]
     assert metrics["urls_fetched"] > 0
     assert set(log["url"]) == sim["seen"]
+
+
+def test_storage_interface_roundtrip(tmp_path):
+    """The single storage seam (state/storage.py): table round-trip,
+    column pruning, suffix-aware listing — and the checkpoint module
+    routes through it."""
+    import pyarrow as pa
+
+    from entity_context_crawler_ray.state.storage import ParquetStore, get_store
+
+    store = ParquetStore()
+    t = pa.table({"a": [1, 2, 3], "b": ["x", "y", "z"]})
+    p = str(tmp_path / ("t" + store.suffix))
+    store.write_table(t, p)
+    assert store.read_table(p).equals(t)
+    assert store.read_table(p, columns=["b"]).column_names == ["b"]
+    assert store.list_tables(str(tmp_path / "*")) == [p]
+    assert isinstance(get_store(), ParquetStore)  # default backend
