@@ -94,19 +94,18 @@ def quantiles_exact(
                 }
             )
 
-        parts = ray.get(
-            ds.map_batches(hist, batch_format="pyarrow").to_arrow_refs()
-        )
-        merged = pa.concat_tables(parts).group_by(["win", "bin"]).aggregate(
-            [("cnt", "sum")]
-        )
+        # stream the per-batch partials through the driver ONE REF AT A
+        # TIME, accumulating into O(num_bins × windows) arrays — driver
+        # memory is independent of the number of input blocks
         by_win = {}
-        for wi, b, c in zip(
-            merged["win"].to_pylist(),
-            merged["bin"].to_pylist(),
-            merged["cnt_sum"].to_pylist(),
-        ):
-            by_win.setdefault(wi, np.zeros(num_bins, dtype=np.int64))[b] = c
+        for ref in ds.map_batches(hist, batch_format="pyarrow").to_arrow_refs():
+            part = ray.get(ref)
+            for wi, b, c in zip(
+                part["win"].to_pylist(),
+                part["bin"].to_pylist(),
+                part["cnt"].to_pylist(),
+            ):
+                by_win.setdefault(wi, np.zeros(num_bins, dtype=np.int64))[b] += c
         for i in list(live):
             counts = by_win.get(i)
             w = wins[i]
