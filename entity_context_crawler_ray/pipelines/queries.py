@@ -1105,6 +1105,32 @@ def q_media_decode(sf_dir: str):
     return decoded.drop_columns(["payload"])
 
 
+def q_media_embed(sf_dir: str):
+    """decode -> resize -> actor-pool batched embedding (multimodal
+    feature-extract plumbing; kernel deterministic-fake)."""
+    docs_ds = docsrc.read_docs(sf_dir)
+    decoded = media.resize_media(media.decode_media(docs_ds, fake=True))
+    emb = media.embed_media(decoded, dim=16)
+    return emb.map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "media_ref": t["media_ref"],
+                "dim": pa.array(
+                    [len(e) for e in t["embedding"].to_pylist()], pa.int64()
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_media_frames(sf_dir: str):
+    """Video-style frame sampling over the media spans."""
+    docs_ds = docsrc.read_docs(sf_dir)
+    return media.sample_frames(media.extract_media_spans(docs_ds), every_ms=1000)
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -1159,6 +1185,8 @@ def queries() -> Dict[str, Callable]:
         "q_minhash_neardup": q_minhash_neardup,
         "q_embedding_neardup_lsh": q_embedding_neardup_lsh,
         "q_media_decode": q_media_decode,
+        "q_media_embed": q_media_embed,
+        "q_media_frames": q_media_frames,
     }
 
 

@@ -317,3 +317,34 @@ def test_sample_fraction_deterministic_and_partition_independent():
     ).to_pandas()
     assert sorted(a["k"]) == sorted(b["k"])
     assert 0.15 < len(a) / 2000 < 0.25
+
+
+def test_media_resize_embed_frames():
+    """Multimodal plumbing: resize keeps aspect + bounds, embeddings
+    are unit-norm and batch-size independent, frame sampling fan-out
+    is bounded by duration/interval."""
+    import numpy as np
+
+    from entity_context_crawler_ray.sources.docs import read_docs
+
+    docs = read_docs("/root/testdata/sf0.001").limit(60)
+    decoded = media.decode_media(docs, fake=True)
+    resized = media.resize_media(decoded, max_side=20).to_pandas()
+    assert len(resized) > 0
+    assert (resized[["width", "height"]].max(axis=1) <= 20).all()
+    assert (resized["n_bytes"] > 0).all()
+
+    emb_a = media.embed_media(media.resize_media(decoded, max_side=20), batch_size=7).to_pandas()
+    emb_b = media.embed_media(media.resize_media(decoded, max_side=20), batch_size=64).to_pandas()
+    for df in (emb_a, emb_b):
+        norms = np.array([np.linalg.norm(e) for e in df["embedding"]])
+        assert np.allclose(norms, 1.0)
+    a = {r: tuple(e) for r, e in zip(emb_a["media_ref"], emb_a["embedding"])}
+    b = {r: tuple(e) for r, e in zip(emb_b["media_ref"], emb_b["embedding"])}
+    assert a == b  # batch size never changes the result
+
+    frames = media.sample_frames(media.extract_media_spans(docs), every_ms=1000).to_pandas()
+    assert len(frames) > 0
+    per_ref = frames.groupby("media_ref").size()
+    assert (per_ref <= 11).all()  # duration <= 10.5s at 1s intervals
+    assert (frames["ts_ms"] % 1000 == 0).all()
