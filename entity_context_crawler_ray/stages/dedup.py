@@ -511,16 +511,24 @@ def embedding_neardup_lsh(
 
 
 def embedding_neardup_pairs(
-    embeddings: ray.data.Dataset, threshold: float = 0.95
+    embeddings: ray.data.Dataset, threshold: float = 0.95, max_rows: int = 1_000_000
 ) -> ray.data.Dataset:
     """All pairs (a < b) with cosine similarity ≥ threshold.
 
     Exact blocked computation: the L2-normalized matrix is broadcast
     once (ray.put), each batch computes a (batch × all) matmul and
-    emits only pairs above threshold.  Scale path: LSH-bucket by
-    sign-bit projections first (see similarity.lsh_buckets) so each
-    bucket's pairwise work is local; the brute-force kernel below is
-    then the within-bucket verifier."""
+    emits only pairs above threshold.  This is the EXACT ORACLE
+    BASELINE — O(N²) with the full matrix broadcast — and refuses
+    inputs beyond ``max_rows``: the scale path is
+    ``embedding_neardup_lsh`` (bucketed candidate generation, this
+    kernel's math as the within-bucket verifier)."""
+    n = embeddings.count()
+    if n > max_rows:
+        raise ValueError(
+            f"embedding_neardup_pairs is the exact O(N²) baseline and "
+            f"refuses {n} rows (> {max_rows}); use embedding_neardup_lsh "
+            f"for the bucketed scale path"
+        )
     tbl = embeddings.select_columns(["vec_id", "embedding"]).to_pandas()
     ids = tbl["vec_id"].to_numpy()
     mat = np.stack(tbl["embedding"].to_numpy()).astype(np.float64)

@@ -456,3 +456,26 @@ def test_storage_interface_roundtrip(tmp_path):
     assert store.read_table(p, columns=["b"]).column_names == ["b"]
     assert store.list_tables(str(tmp_path / "*")) == [p]
     assert isinstance(get_store(), ParquetStore)  # default backend
+
+
+def test_crawl_wallclock_politeness_smoke(store_and_inputs):
+    """Wall-clock refill mode through the full crawl: an effectively
+    unlimited rate reproduces the unlimited-refill fetch log."""
+    store, ref, docs_local, idx, seeds = store_and_inputs
+    kw = dict(
+        max_depth=1,
+        round_budget=40,
+        capacity=5,
+        num_bloom_shards=2,
+        num_politeness_shards=2,
+        doc_store_partitions=8,
+        max_rounds=40,
+    )
+    _, out_round = _run(store, ref, seeds, CrawlConfig(refill=5, **kw), "wc_round")
+    _, out_wall = _run(
+        store, ref, seeds, CrawlConfig(refill=0, refill_per_sec=1e9, **kw), "wc_wall"
+    )
+    pd.testing.assert_frame_equal(
+        _read_fetch_log(out_round)[["round", "rank", "url"]],
+        _read_fetch_log(out_wall)[["round", "rank", "url"]],
+    )
