@@ -33,6 +33,12 @@ _TOKEN_RE = re.compile(TOKEN_PATTERN)
 # sentence boundary (spec above); \x1e = ASCII record separator
 SENT_BOUNDARY_PATTERN = r"([.!?])\s+"
 _SENT_BOUNDARY_RE = re.compile(SENT_BOUNDARY_PATTERN)
+# hot-path twin of SENT_BOUNDARY_PATTERN: replacing the whitespace run
+# AFTER a kept [.!?] (fixed-width lookbehind) produces byte-identical
+# output to the exported pattern's backreference substitution, without
+# re's per-match template expansion (~2x faster sub).  The exported
+# pattern stays the spec the SQL oracles share.
+_SENT_BOUNDARY_FAST_RE = re.compile(r"(?<=[.!?])\s+")
 _SENT_SEP = "\x1e"
 
 Token = Tuple[str, int, int]  # (text, start_char, end_char-exclusive)
@@ -40,7 +46,11 @@ Token = Tuple[str, int, int]  # (text, start_char, end_char-exclusive)
 
 def tokenize(text: str) -> List[Token]:
     """Tokenize ``text`` into (text, start, end) triples, in order."""
-    return [(m.group(0), m.start(), m.end()) for m in _TOKEN_RE.finditer(text)]
+    out: List[Token] = []
+    for m in _TOKEN_RE.finditer(text):
+        s, e = m.span()  # one call per match (group/start/end cost 3)
+        out.append((text[s:e], s, e))
+    return out
 
 
 def token_texts(text: str) -> List[str]:
@@ -55,7 +65,7 @@ def split_sentences(text: str) -> List[str]:
     """
     if not text:
         return []
-    return _SENT_BOUNDARY_RE.sub("\\1" + _SENT_SEP, text).split(_SENT_SEP)
+    return _SENT_BOUNDARY_FAST_RE.sub(_SENT_SEP, text).split(_SENT_SEP)
 
 
 # Sentence filter thresholds — reference cmd/build_matches_db.py:337-350
