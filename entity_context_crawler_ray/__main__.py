@@ -207,6 +207,27 @@ def cmd_crawl(args) -> int:
     return 0
 
 
+def cmd_pipeline(args) -> int:
+    if args.list_steps:
+        from .pipelines.registry import list_steps
+
+        for name, doc in sorted(list_steps().items()):
+            print(f"{name:14s} {doc}")
+        return 0
+    if not os.path.exists(args.spec):
+        print("spec not found")
+        return 1
+    if not _guard_output(args.out, args.overwrite):
+        return 1
+    _ensure_ray()
+    from .pipelines.registry import load_spec, run_pipeline
+
+    ds = run_pipeline(load_spec(args.spec))
+    ds.write_parquet(args.out)
+    print(f"pipeline output written to {args.out} ({ds.count()} rows)")
+    return 0
+
+
 def main(argv: Optional[List[str]] = None) -> int:
     parser = argparse.ArgumentParser(prog="entity_context_crawler_ray")
     parser.add_argument("--random-seed", type=int, default=42)
@@ -278,7 +299,19 @@ def main(argv: Optional[List[str]] = None) -> int:
         "bucketed on-storage path (0 = always bucketed)",
     )
 
+    p4 = sub.add_parser(
+        "pipeline",
+        help="compose registered Dataset->Dataset steps from a JSON spec "
+        "(the SURVEY §2.10 extension surface; ray-job-submit friendly)",
+    )
+    p4.add_argument("spec", nargs="?", default="", help="JSON pipeline spec")
+    p4.add_argument("out", nargs="?", default="", help="output parquet dir")
+    p4.add_argument("--list-steps", dest="list_steps", action="store_true")
+    p4.add_argument("--overwrite", action="store_true")
+
     args = parser.parse_args(argv)
+    if args.command == "pipeline":
+        return cmd_pipeline(args)
     if args.command == "build-matches-db":
         return cmd_build_matches(args)
     if args.command == "build-contexts-db":

@@ -224,3 +224,61 @@ def test_cli_end_to_end(xml_path, tmp_path):
 
 def test_cli_help():
     assert main([]) == 0
+
+
+def test_pipeline_registry_and_cli(tmp_path):
+    """SURVEY §2.10 extension surface: registered steps compose from a
+    declarative spec, custom steps register, unknown steps error."""
+    import json
+
+    import pyarrow as pa
+    import ray.data
+
+    from entity_context_crawler_ray.__main__ import main
+    from entity_context_crawler_ray.pipelines.registry import (
+        STEPS,
+        list_steps,
+        register_step,
+        run_pipeline,
+    )
+
+    spec = {
+        "input": "/root/testdata/sf0.001/documents.parquet",
+        "input_columns": ["doc_id", "text"],
+        "steps": [
+            {"step": "sample", "args": {"p": 0.5}},
+            {"step": "simhash"},
+            {"step": "select", "args": {"columns": ["doc_id", "simhash"]}},
+        ],
+    }
+    out = run_pipeline(spec).to_pandas()
+    assert set(out.columns) == {"doc_id", "simhash"} and len(out) > 100
+
+    # custom step registration
+    @register_step("double_ids", "test step")
+    def _double(ds):
+        return ds.map_batches(
+            lambda t: t.set_column(
+                t.schema.get_field_index("doc_id"),
+                "doc_id",
+                pa.compute.multiply(t["doc_id"], 2),
+            ),
+            batch_format="pyarrow",
+        )
+
+    spec2 = dict(spec, steps=[{"step": "double_ids"}, {"step": "limit", "args": {"n": 5}}])
+    got = run_pipeline(spec2).to_pandas()
+    assert (got["doc_id"] % 2 == 0).all() and len(got) == 5
+    del STEPS["double_ids"]
+
+    with pytest.raises(KeyError):
+        run_pipeline(dict(spec, steps=[{"step": "nope"}]))
+
+    # CLI drive
+    sp = tmp_path / "spec.json"
+    sp.write_text(json.dumps(spec))
+    outdir = str(tmp_path / "out")
+    assert main(["pipeline", str(sp), outdir]) == 0
+    assert len(ray.data.read_parquet(outdir).take(3)) == 3
+    assert main(["pipeline", "--list-steps"]) == 0
+    assert "sample" in list_steps()

@@ -479,3 +479,31 @@ def test_crawl_wallclock_politeness_smoke(store_and_inputs):
         _read_fetch_log(out_round)[["round", "rank", "url"]],
         _read_fetch_log(out_wall)[["round", "rank", "url"]],
     )
+
+
+def test_crawl_edge_cases(store_and_inputs):
+    """Degenerate configs terminate cleanly: depth 0 fetches only the
+    seeds; an empty seed list fetches nothing; both scheduling paths."""
+    store, ref, docs_local, idx, seeds = store_and_inputs
+    import pyarrow as pa
+
+    kw = dict(
+        num_bloom_shards=2,
+        num_politeness_shards=2,
+        doc_store_partitions=8,
+        max_rounds=10,
+    )
+    for thr in (100_000, 0):
+        m, out = _run(
+            store, ref, seeds,
+            CrawlConfig(max_depth=0, driver_threshold=thr, **kw),
+            f"depth0_{thr}",
+        )
+        assert m["urls_fetched"] == seeds.num_rows  # seeds only, 1 round
+        assert len(m["rounds"]) == 1
+
+    empty = pa.table(
+        {"url": pa.array([], pa.string()), "priority": pa.array([], pa.float64())}
+    )
+    m, _ = _run(store, ref, empty, CrawlConfig(max_depth=1, **kw), "noseeds")
+    assert m["urls_fetched"] == 0 and m["rounds"] == []
