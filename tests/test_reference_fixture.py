@@ -140,11 +140,15 @@ def test_multistream_bz2_read():
 
 
 def test_real_fixture_matches_db_invariants(matches_store):
-    """Reference suite invariants (test_suite.py:119-129) + offsets."""
+    """Reference suite invariants (test_suite.py:119-129) + offsets,
+    plus GOLDEN counts pinned on the immutable fixture so semantic
+    drift in the wikitext/cleaner/matcher specs is caught exactly."""
     t = pq.read_table(matches_store)
-    assert t.num_rows >= 100  # pages non-empty
-    assert pc.sum(t["match_count"]).as_py() > 0
-    assert pc.sum(pc.list_value_length(t["mentions"])).as_py() > 0
+    assert t.num_rows == 102  # pages (golden)
+    assert pc.sum(t["match_count"]).as_py() == 41  # matches (golden)
+    assert pc.sum(pc.list_value_length(t["mentions"])).as_py() == 11  # golden
+    assert pc.sum(t["link_count"]).as_py() == 13370  # golden
+    assert pc.sum(t["entity_link_count"]).as_py() == 23  # golden
     # zero per-page processing errors on real markup
     assert pc.sum(pc.cast(pc.not_equal(t["error"], ""), pa.int64())).as_py() == 0
     # the stored mention is exactly the document span it points at
@@ -180,7 +184,7 @@ def test_real_fixture_contexts_db_invariants(matches_store):
     )
     assert rc == 0
     t = pq.read_table(f"{BASE}/contexts")
-    assert t.num_rows > 0
+    assert t.num_rows == 29  # golden on the immutable fixture
     assert set(t.schema.names) == {
         "entity",
         "entity_label",
