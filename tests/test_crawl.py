@@ -507,3 +507,37 @@ def test_crawl_edge_cases(store_and_inputs):
     )
     m, _ = _run(store, ref, empty, CrawlConfig(max_depth=1, **kw), "noseeds")
     assert m["urls_fetched"] == 0 and m["rounds"] == []
+
+
+def test_crawl_regime_transitions_match_simulator(store_and_inputs):
+    """driver -> bucketed -> driver transitions mid-crawl: with
+    threshold 100 the frontier (73 -> 149 -> 106 -> 69 -> 11 -> 4 rows)
+    spills to the bucketed dir at round 1 and loads back to the driver
+    at round 3 — ordering parity must hold across both transitions and
+    consumed frontier dirs must be cleaned up."""
+    store, ref, docs_local, idx, seeds = store_and_inputs
+    cfg = CrawlConfig(
+        max_depth=1,
+        round_budget=40,
+        capacity=5,
+        refill=3,
+        num_bloom_shards=2,
+        num_politeness_shards=2,
+        doc_store_partitions=8,
+        max_rounds=40,
+        driver_threshold=100,
+    )
+    metrics, out = _run(store, ref, seeds, cfg, "transition")
+    scheds = [r["scheduling"] for r in metrics["rounds"]]
+    assert "driver" in scheds and "bucketed" in scheds
+    assert scheds[0] == "driver" and scheds[-1] == "driver"
+    sim = simulate_crawl(
+        docs_local,
+        list(zip(seeds["url"].to_pylist(), seeds["priority"].to_pylist())),
+        idx["title_to_eid"],
+        cfg,
+    )
+    log = _read_fetch_log(out)
+    assert list(zip(log["round"], log["rank"], log["url"])) == sim["fetch_log"]
+    assert set(log["url"]) == sim["seen"]
+    assert glob.glob(f"{out}/frontier/round=*") == []  # all consumed+cleaned
