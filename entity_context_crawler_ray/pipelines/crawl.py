@@ -12,15 +12,20 @@ rounds, with
   (state/politeness.py) applied in a ``groupby(host)`` admission
   stage (optionally pre-truncated per salted sub-bucket for hot
   hosts — the exact-top-K combiner trick, SURVEY.md §7.4),
-- a global **priority sort + round budget** split
-  (``sort.split_at_indices``), deterministic via (priority desc, url
-  asc) ordering,
+- a global **priority + round budget** split, deterministic via
+  (priority desc, url asc) ordering — per-bucket local top-budget
+  truncation + a bounded driver merge in the bucketed regime,
 - **fetch+extract** as an actor-pool ``map_batches`` over the
   hash-partitioned doc store, running the stage-1 matcher per fetched
   page (stages/match.py) and emitting out-links for the next round,
-- per-round **checkpoints** (frontier parquet + bloom/politeness
-  snapshots + manifest, state/checkpoint.py) making the crawl
-  resumable, and per-round partitioned parquet output
+- a **distributed-resident frontier** above ``driver_threshold``
+  rows: bucketed-by-host parquet dirs between rounds, written
+  in place by the producers (partition-on-write — see the bucketed-
+  frontier section below), with a semantically identical driver fast
+  path for small rounds,
+- per-round **checkpoints** (frontier table-or-dir reference + bloom/
+  politeness snapshots + manifest, state/checkpoint.py) making the
+  crawl resumable, and per-round partitioned parquet output
   (``out_dir/round=r/``) with a ``round`` lineage column.
 
 Round semantics (the conformance definition the parity simulator in
