@@ -953,6 +953,8 @@ def crawl(
                         {
                             "n_fetched": pa.array([nf], pa.int64()),
                             "n_link_rows": pa.array([n_rows], pa.int64()),
+                            "fname": pa.array([fname], pa.string()),
+                            "n_rows": pa.array([pages.num_rows], pa.int64()),
                         }
                     )
                 stats = pa.table(
@@ -962,10 +964,18 @@ def crawl(
                         "is_entity_max": pa.array([0], pa.int8()),
                         "src_depth_min": pa.array([0], pa.int32()),
                         "host": pa.array([""], pa.string()),
+                        "fname": pa.array([fname], pa.string()),
+                        "n_rows": pa.array([pages.num_rows], pa.int64()),
                     }
                 )
+                agg = agg.append_column(
+                    "fname", pa.nulls(agg.num_rows, pa.string())
+                ).append_column("n_rows", pa.nulls(agg.num_rows, pa.int64()))
                 agg = agg.select(
-                    ["target", "target_count", "is_entity_max", "src_depth_min", "host"]
+                    [
+                        "target", "target_count", "is_entity_max",
+                        "src_depth_min", "host", "fname", "n_rows",
+                    ]
                 ).cast(stats.schema)
                 return pa.concat_tables([agg, stats], promote_options="default")
 
@@ -985,12 +995,17 @@ def crawl(
                 n_links_rows = int(pc.sum(fused["n_link_rows"]).as_py() or 0)
                 n_missing = fetch_tbl.num_rows - n_fetched
                 new_frontier = None
+                lineage_rows = list(
+                    zip(fused["fname"].to_pylist(), fused["n_rows"].to_pylist())
+                )
             else:
                 stats_mask = pc.is_null(fused["target"])
-                n_fetched = int(
-                    pc.sum(fused.filter(stats_mask)["target_count"]).as_py() or 0
-                )
+                stats_rows = fused.filter(stats_mask)
+                n_fetched = int(pc.sum(stats_rows["target_count"]).as_py() or 0)
                 n_missing = fetch_tbl.num_rows - n_fetched
+                lineage_rows = list(
+                    zip(stats_rows["fname"].to_pylist(), stats_rows["n_rows"].to_pylist())
+                )
 
                 partials = fused.filter(pc.invert(stats_mask))
                 _merged = partials.group_by("target").aggregate(
@@ -1032,6 +1047,22 @@ def crawl(
                     )
                 else:
                     new_frontier = None
+            # per-partition lineage manifest: every page file this
+            # round, with its row count (north_rule "per-partition
+            # lineage"); '_'-prefixed so parquet dataset scans skip it
+            import json as _json
+
+            with open(os.path.join(round_dir, "_lineage.json"), "w") as fh:
+                _json.dump(
+                    {
+                        "round": round_id,
+                        "files": [
+                            {"file": f"{f}.parquet", "rows": int(r)}
+                            for f, r in sorted(lineage_rows)
+                        ],
+                    },
+                    fh,
+                )
             _mark("links")
         else:
             n_fetched = 0

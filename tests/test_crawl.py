@@ -127,6 +127,17 @@ def test_crawl_matches_simulator(store_and_inputs):
     assert got == sim["fetch_log"]  # crawl ordering parity
     assert set(log["url"]) == sim["seen"]  # final URL-seen set parity
     assert metrics["urls_fetched"] == len(sim["fetch_log"])
+    # per-partition lineage: every round manifest lists exactly the
+    # page files present, with matching row counts
+    import json
+
+    for rdir in sorted(glob.glob(f"{out}/round=*")):
+        with open(f"{rdir}/_lineage.json") as fh:
+            lineage = json.load(fh)
+        files = sorted(os.path.basename(p) for p in glob.glob(f"{rdir}/*.parquet"))
+        assert sorted(e["file"] for e in lineage["files"]) == files
+        for e in lineage["files"]:
+            assert pq.read_table(f"{rdir}/{e['file']}").num_rows == e["rows"]
 
 
 def test_crawl_salting_and_scheduling_paths_equivalent(store_and_inputs):
@@ -265,10 +276,10 @@ def test_crawl_resume_equivalence(store_and_inputs):
     assert m_full["urls_fetched"] == m_a["urls_fetched"] + m_b["urls_fetched"]
     # extracted pages: union of rounds matches too
     n_full = pads.dataset(
-        out_full, format="parquet", partitioning="hive", ignore_prefixes=["fetch_log"]
+        out_full, format="parquet", partitioning="hive", ignore_prefixes=["fetch_log", "_", ".", "frontier"]
     ).count_rows()
     n_part = pads.dataset(
-        out_part, format="parquet", partitioning="hive", ignore_prefixes=["fetch_log"]
+        out_part, format="parquet", partitioning="hive", ignore_prefixes=["fetch_log", "_", ".", "frontier"]
     ).count_rows()
     assert n_full == n_part
 
