@@ -18,7 +18,7 @@ built-in operator stage is pre-registered.
 from __future__ import annotations
 
 import json
-from typing import Callable, Dict, Optional
+from typing import Callable, Dict
 
 import pyarrow as pa
 import ray.data

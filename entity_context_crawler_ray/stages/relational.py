@@ -17,8 +17,6 @@ import pyarrow as pa
 import ray
 import ray.data
 
-from ..functions.hashing import stable_hash64
-
 
 def broadcast_inner_join(
     ds: ray.data.Dataset,
