@@ -1063,6 +1063,44 @@ FROM reach GROUP BY node
 """
 
 
+def q_top_orders_per_cust(sf_dir: str):
+    """Top-3 orders per customer by (o_totalprice desc, o_orderkey asc)
+    — grouped top-k with a map-side per-batch combiner
+    (relational.grouped_top_k); the oracle is the row_number window."""
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
+    out = relational.grouped_top_k(
+        ds,
+        group_key="o_custkey",
+        by=["o_totalprice", "o_orderkey"],
+        k=3,
+        descending=[True, False],
+    )
+    return out.map_batches(
+        lambda t: pa.table(
+            {
+                "o_custkey": pc.cast(t["o_custkey"], pa.int64()),
+                "o_orderkey": pc.cast(t["o_orderkey"], pa.int64()),
+                "o_totalprice": t["o_totalprice"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_TOP_ORDERS_PER_CUST = """
+SELECT o_custkey, o_orderkey, o_totalprice
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (
+           PARTITION BY o_custkey
+           ORDER BY o_totalprice DESC, o_orderkey
+         ) AS rn
+  FROM orders
+)
+WHERE rn <= 3
+"""
+
+
 def q_quantiles(sf_dir: str):
     """EXACT distributed quantiles by histogram-refinement selection
     (stages/stats.py) — no global sort; rank rule floor(q*(n-1))."""
@@ -1167,6 +1205,7 @@ def queries() -> Dict[str, Callable]:
         "q_redact": q_redact,
         "q_term_df": q_term_df,
         "q_dedup_clusters": q_dedup_clusters,
+        "q_top_orders_per_cust": q_top_orders_per_cust,
         "q_quantiles": q_quantiles,
         "q_sample": q_sample,
         # ECC pipelines (rows-only; golden parity in tests/)
@@ -1217,6 +1256,7 @@ def oracle_sql() -> Dict[str, str]:
         "q_redact": SQL_REDACT,
         "q_term_df": SQL_TERM_DF,
         "q_dedup_clusters": SQL_DEDUP_CLUSTERS,
+        "q_top_orders_per_cust": SQL_TOP_ORDERS_PER_CUST,
         "q_quantiles": SQL_QUANTILES,
         "q_sample": SQL_SAMPLE,
         "q_embedding_neardup": SQL_EMBEDDING_NEARDUP,

@@ -256,3 +256,37 @@ def top_k(
 ) -> ray.data.Dataset:
     """Global top-k via distributed sort + limit."""
     return ds.sort(list(by), descending=list(descending)).limit(k)
+
+
+def grouped_top_k(
+    ds: ray.data.Dataset,
+    group_key: str,
+    by: Sequence[str],
+    k: int,
+    descending: Sequence[bool],
+) -> ray.data.Dataset:
+    """Top-k rows PER group (the window-function
+    ``row_number() OVER (PARTITION BY key ORDER BY ...) <= k`` shape).
+
+    Map-side combiner: every batch is pre-truncated to its own per-key
+    top-k (exact — the global per-key top-k is a subset of the union
+    of per-batch per-key top-ks), so the one groupby exchange moves at
+    most k rows per (key, batch) instead of every row."""
+    order = list(by)
+    asc = [not d for d in descending]
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.sort_values(order, ascending=asc)
+            .groupby(group_key, group_keys=False)
+            .head(k)
+        )
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(order, ascending=asc).head(k)
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(group_key)
+        .map_groups(final, batch_format="pandas")
+    )
