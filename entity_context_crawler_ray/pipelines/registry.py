@@ -145,3 +145,24 @@ def _step_repartition(ds, n: int):
 def load_spec(path: str) -> dict:
     with open(path, "r", encoding="utf-8") as fh:
         return json.load(fh)
+
+
+@register_step("top_k_per_key", "per-key window top-k")
+def _step_grouped_topk(ds, group_key: str, by, k: int, descending):
+    from ..stages import relational
+
+    return relational.grouped_top_k(
+        ds, group_key=group_key, by=by, k=k, descending=descending
+    )
+
+
+@register_step("minhash_bands", "md5 minhash LSH band rows")
+def _step_minhash_bands(ds, num_perm: int = 16, bands: int = 4, shingle_n: int = 3):
+    from ..stages import dedup
+
+    return ds.map_batches(
+        lambda t: dedup.minhash_bands_md5(
+            t, num_perm=num_perm, bands=bands, shingle_n=shingle_n
+        ),
+        batch_format="pyarrow",
+    )
