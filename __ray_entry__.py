@@ -65,13 +65,11 @@ def entry() -> Any:
         zero_copy_batch=True,
     )
     crawled = crawled.materialize()
-    _mdf = mentions_view(crawled).select_columns(["entity_id", "mention"]).to_pandas()
-    mentions_by_entity = _mdf.groupby("entity_id")["mention"].apply(list).to_dict()
     contexts = build_contexts(
         crawled,
         ents,
         docsrc.id_map_table(sf_dir),
-        mentions_by_entity,
+        mentions_view(crawled).select_columns(["entity_id", "mention"]),
         context_size=100,
         limit_contexts=10,
     )

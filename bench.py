@@ -164,13 +164,11 @@ def run_bench() -> dict:
             batch_format="pyarrow",
             zero_copy_batch=True,
         ).materialize()
-        _mdf = mentions_view(crawled).select_columns(["entity_id", "mention"]).to_pandas()
-        mbe = _mdf.groupby("entity_id")["mention"].apply(list).to_dict()
         contexts = build_contexts(
             crawled,
             ents,
             docsrc.id_map_table(SF_DIR),
-            mbe,
+            mentions_view(crawled).select_columns(["entity_id", "mention"]),
             context_size=100,
             limit_contexts=10,
         )

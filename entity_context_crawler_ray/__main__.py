@@ -134,13 +134,11 @@ def cmd_build_contexts(args) -> int:
     combined = read_store(args.matches).materialize()
     entities = _read_entities(args.entities)
     id_map = _read_id_map(args.id_map)
-    mdf = mentions_view(combined).select_columns(["entity_id", "mention"]).to_pandas()
-    mbe = mdf.groupby("entity_id")["mention"].apply(list).to_dict()
     contexts = build_contexts(
         combined,
         entities,
         id_map,
-        mbe,
+        mentions_view(combined).select_columns(["entity_id", "mention"]),
         context_size=args.context_size,
         crop_sentences=args.crop_sentences,
         limit_contexts=args.limit_contexts,

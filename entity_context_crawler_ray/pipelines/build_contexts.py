@@ -11,10 +11,14 @@ Data pipeline:
    the ±size window (SQLite SUBSTR clamping, functions.text.sql_window)
    is cut immediately and the wide ``clean_text`` column is dropped
    before anything shuffles (SURVEY.md §7.5(3)).
-2. **per-entity group**: groupby(entity_id).map_groups — deterministic
-   sample of ≤K windows, per-entity PhraseMatcher from
-   {label} ∪ mentions, crop (token or sentence mode), strict-span
-   pruning + '#' masking, rid lookup.
+2. **per-entity co-group**: the distinct (entity_id, mention) pairs
+   are tagged into the windows schema (window IS NULL) and unioned
+   into the same groupby(entity_id).map_groups — the reference's
+   entity ⋈ mentions join (cmd/build_contexts_db.py:215-218) runs as
+   a co-group, with no driver-side collection that grows with the
+   corpus.  Each group then does: deterministic sample of ≤K windows,
+   per-entity PhraseMatcher from {label} ∪ mentions, crop (token or
+   sentence mode), strict-span pruning + '#' masking, rid lookup.
 
 Determinism: the reference's sampling depends on global ``random``
 state threaded through a serially-shuffled entity loop
@@ -117,6 +121,26 @@ class WindowMatches:
         return t
 
 
+def _pattern_rows(t: pa.Table) -> pa.Table:
+    """Tag distinct (entity_id, mention) pairs as pattern rows in the
+    windows schema: ``window`` is NULL (the discriminator the group fn
+    splits on), ``rank`` stays a non-null uint64 so the union column
+    never decays to float64 in pandas (which would truncate real
+    64-bit ranks)."""
+    import pyarrow.compute as pc
+
+    n = t.num_rows
+    return pa.table(
+        {
+            "entity_id": pc.cast(t["entity_id"], pa.string()),
+            "mention": pc.cast(t["mention"], pa.string()),
+            "page_title": pa.nulls(n, pa.string()),
+            "window": pa.nulls(n, pa.string()),
+            "rank": pa.array(np.zeros(n, dtype=np.uint64)),
+        }
+    )
+
+
 # worker-process cache for the broadcast lookup: map_groups calls the
 # fn once per entity group, and ray.get-ing (deserializing) the whole
 # dict per group dominates runtime for small groups
@@ -140,7 +164,6 @@ def _make_group_fn(
     def per_entity(group: pd.DataFrame) -> pd.DataFrame:
         lookup = _get_broadcast(lookup_ref)
         eid_info: Dict[str, tuple] = lookup["eid_info"]
-        mentions_by_entity: Dict[str, list] = lookup["mentions_by_entity"]
         allowed = lookup["allowed"]
 
         empty = pd.DataFrame(
@@ -160,6 +183,15 @@ def _make_group_fn(
             return empty
         rid, label = eid_info[eid]
 
+        # co-grouped pattern rows (window IS NULL) carry the entity's
+        # distinct mentions — the J5 join is a tagged union into this
+        # groupby, never a driver-side dict (SURVEY.md §2.4 J5)
+        pat_mask = group["window"].isna()
+        pattern_mentions = set(group.loc[pat_mask, "mention"])
+        group = group.loc[~pat_mask]
+        if group.empty:
+            return empty
+
         # deterministic sample of ≤K (reference shuffle + head,
         # cmd/build_contexts_db.py:210-212)
         group = group.sort_values("rank", kind="mergesort")
@@ -168,7 +200,7 @@ def _make_group_fn(
 
         # per-entity matcher: {label} ∪ distinct mentions
         # (reference cmd/build_contexts_db.py:215-218)
-        patterns = {label} | set(mentions_by_entity.get(eid, ()))
+        patterns = {label} | pattern_mentions
         matcher = PhraseMatcher(patterns)
 
         rows = []
@@ -240,7 +272,7 @@ def build_contexts(
     combined: ray.data.Dataset,
     entities: pa.Table,
     id_map: pa.Table,
-    mentions_by_entity: Dict[str, list],
+    mentions,
     *,
     context_size: int = 100,
     crop_sentences: bool = False,
@@ -251,6 +283,14 @@ def build_contexts(
 ) -> ray.data.Dataset:
     """combined store (or a (title, clean_text, matches) projection of
     it) -> contexts Dataset (lazy).
+
+    ``mentions``: the distinct (entity_id, mention) pairs — a
+    ``ray.data.Dataset`` (e.g. ``mentions_view(combined)``), a
+    ``pa.Table``, or a legacy ``{entity_id: [mention, ...]}`` dict.
+    The pairs are co-grouped with the context windows on
+    ``entity_id`` (tagged union into the same groupby) — the per-
+    entity pattern sets are never materialized on the driver, so no
+    state here grows with the corpus (SURVEY.md §2.4 J5).
 
     ``order_mode`` governs which entities --limit-entities keeps:
 
@@ -300,19 +340,32 @@ def build_contexts(
             )
             allowed = set(ordered[:limit_entities])
 
-    lookup_ref = ray.put(
-        {
-            "eid_info": eid_info,
-            "mentions_by_entity": mentions_by_entity,
-            "allowed": allowed,
-        }
-    )
+    lookup_ref = ray.put({"eid_info": eid_info, "allowed": allowed})
 
     eligible = set(eid_info) if allowed is None else allowed
 
     def prefilter(t: pa.Table) -> pa.Table:
         mask = pa.array([e in eligible for e in t["entity_id"].to_pylist()])
         return t.filter(mask)
+
+    # normalize the mentions side to a Dataset of (entity_id, mention)
+    if isinstance(mentions, dict):
+        eids, ms = [], []
+        for e, lst in mentions.items():
+            for m in lst:
+                eids.append(e)
+                ms.append(m)
+        mentions = pa.table(
+            {
+                "entity_id": pa.array(eids, pa.string()),
+                "mention": pa.array(ms, pa.string()),
+            }
+        )
+    if isinstance(mentions, pa.Table):
+        mentions = ray.data.from_arrow(mentions)
+    pattern_ds = mentions.map_batches(
+        _pattern_rows, batch_format="pyarrow", zero_copy_batch=True
+    ).map_batches(prefilter, batch_format="pyarrow", zero_copy_batch=True)
 
     windows = combined.map_batches(
         WindowMatches(context_size, seed, limit_contexts),
@@ -321,7 +374,8 @@ def build_contexts(
     ).map_batches(prefilter, batch_format="pyarrow", zero_copy_batch=True)
 
     return (
-        windows.groupby("entity_id")
+        windows.union(pattern_ds)
+        .groupby("entity_id")
         .map_groups(
             _make_group_fn(lookup_ref, crop_sentences, limit_contexts),
             batch_format="pandas",

@@ -690,9 +690,10 @@ def ecc_mentions(sf_dir: str):
     return mentions_view(combined)
 
 
-def _mentions_dict(combined) -> Dict[str, list]:
-    df = mentions_view(combined).select_columns(["entity_id", "mention"]).to_pandas()
-    return df.groupby("entity_id")["mention"].apply(list).to_dict()
+def _mentions_pairs(combined):
+    """Distinct (entity_id, mention) pairs as a Dataset — co-grouped
+    into build_contexts' groupby, never collected on the driver."""
+    return mentions_view(combined).select_columns(["entity_id", "mention"])
 
 
 def ecc_contexts(sf_dir: str):
@@ -701,7 +702,7 @@ def ecc_contexts(sf_dir: str):
         combined,
         ents,
         docsrc.id_map_table(sf_dir),
-        _mentions_dict(combined),
+        _mentions_pairs(combined),
         context_size=100,
         limit_contexts=10,
     )
@@ -713,7 +714,7 @@ def ecc_contexts_sentences(sf_dir: str):
         combined,
         ents,
         docsrc.id_map_table(sf_dir),
-        _mentions_dict(combined),
+        _mentions_pairs(combined),
         context_size=150,
         crop_sentences=True,
         limit_contexts=10,

@@ -42,10 +42,9 @@ def idmap():
 
 @pytest.fixture(scope="module")
 def mentions_by_entity(combined):
-    out = {}
-    for r in mentions_view(combined).iter_rows():
-        out.setdefault(r["entity_id"], []).append(r["mention"])
-    return out
+    # the Dataset form — exercises the distributed co-group path
+    # (the legacy dict form is covered by test_parity.py)
+    return mentions_view(combined).select_columns(["entity_id", "mention"])
 
 
 def test_pages_nonempty_and_no_errors(combined):
