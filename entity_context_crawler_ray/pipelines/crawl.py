@@ -62,7 +62,7 @@ import ray.data
 from ..functions.hashing import stable_hash64
 from ..sources.doc_store import DocStoreReader, PlasmaDocStoreReader, preload_doc_store
 from ..sources.docs import host_of
-from ..stages.match import COMBINED_SCHEMA, process_doc
+from ..stages.match import CombinedBuilder, SpanColumns
 from ..state.bloom import BloomShardActor, ShardedSeenFilter
 from ..state.politeness import PolitenessShardActor, politeness_shard_of
 from ..state.storage import get_store
@@ -175,52 +175,47 @@ class FetchExtract:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         urls = batch["url"].to_pylist()
-        depths = batch["depth"].to_pylist()
-        rounds = batch["round"].to_pylist()
-        hits, missing = self.reader.lookup(urls)
-        missing_set = set(missing)
-        rows, out_links, fetched, out_depth, out_round = [], [], [], [], []
-        for url, depth, rnd in zip(urls, depths, rounds):
-            if url in missing_set:
-                row = {k.name: None for k in COMBINED_SCHEMA}
-                row.update(
-                    title=url, clean_text="", matches=[], mentions=[],
-                    error="fetch-miss",
-                )
-                rows.append(row)
-                out_links.append([])
+        found, spans_arr, _missing = self.reader.lookup_arrow(urls)
+        pos = {u: i for i, u in enumerate(found)}
+        spans = SpanColumns(spans_arr) if spans_arr is not None else None
+
+        # columnar assembly throughout: combined rows via the shared
+        # CombinedBuilder, out-links via flat children + offsets — no
+        # per-row or per-link dicts (the measured 8→32 scaling
+        # residual, BASELINE.md)
+        b = CombinedBuilder()
+        ol_off: List[int] = [0]
+        ol_target: List[str] = []
+        ol_entity: List[bool] = []
+        fetched: List[bool] = []
+        for url in urls:
+            i = pos.get(url)
+            if i is None:
+                b.add_error(url, "fetch-miss")
                 fetched.append(False)
             else:
-                spans = hits[url]
-                try:
-                    rows.append(
-                        process_doc(url, spans, self.title_to_eid, self.eid_to_label)
-                    )
-                except Exception as exc:  # noqa: BLE001 — poison-row guard
-                    row = {k.name: None for k in COMBINED_SCHEMA}
-                    row.update(
-                        title=url, clean_text="", matches=[], mentions=[],
-                        error=f"{type(exc).__name__}: {exc}",
-                    )
-                    rows.append(row)
-                out_links.append(
-                    [
-                        {
-                            "target": s["media_ref"],
-                            "is_entity": s["media_ref"] in self.title_to_eid,
-                        }
-                        for s in spans
-                        if s["kind"] == "link" and s["media_ref"]
-                    ]
-                )
+                b.add_doc(url, spans, i, self.title_to_eid, self.eid_to_label)
+                lo = int(spans.offs[i])
+                hi = int(spans.offs[i + 1])
+                kind, ref = spans.kind, spans.ref
+                for j in range(lo, hi):
+                    if kind[j] == "link" and ref[j]:
+                        ol_target.append(ref[j])
+                        ol_entity.append(ref[j] in self.title_to_eid)
                 fetched.append(True)
-            out_depth.append(depth)
-            out_round.append(rnd)
-        t = pa.Table.from_pylist(rows, schema=COMBINED_SCHEMA)
-        t = t.append_column("out_links", pa.array(out_links, pa.list_(LINK_ITEM)))
+            ol_off.append(len(ol_target))
+        t = b.table()
+        out_links = pa.ListArray.from_arrays(
+            pa.array(ol_off, pa.int32()),
+            pa.StructArray.from_arrays(
+                [pa.array(ol_target, pa.string()), pa.array(ol_entity, pa.bool_())],
+                fields=list(LINK_ITEM),
+            ),
+        )
+        t = t.append_column("out_links", out_links)
         t = t.append_column("fetched", pa.array(fetched, pa.bool_()))
-        t = t.append_column("depth", pa.array(out_depth, pa.int32()))
-        t = t.append_column("round", pa.array(out_round, pa.int32()))
+        t = t.append_column("depth", batch["depth"].combine_chunks().cast(pa.int32()))
+        t = t.append_column("round", batch["round"].combine_chunks().cast(pa.int32()))
         return t
 
 

@@ -80,6 +80,36 @@ class DocStoreReader:
                 self._cache[part] = (None, {})
         return self._cache[part]
 
+    def lookup_arrow(self, doc_ids: List[str]):
+        """-> (found_ids, spans ListArray aligned with found_ids,
+        missing ids).  The spans stay Arrow end to end — the fetch
+        stage decomposes them columnarly (stages.match.SpanColumns)
+        instead of materializing a dict per span."""
+        found: List[str] = []
+        missing: List[str] = []
+        chunks: List[pa.Array] = []
+        by_part: Dict[int, List[str]] = {}
+        for d in doc_ids:
+            by_part.setdefault(doc_partition(d, self.num_partitions), []).append(d)
+        for part, ds in by_part.items():
+            spans_col, row_of = self._partition_index(part)
+            rows = []
+            for d in ds:
+                row = row_of.get(d)
+                if row is None:
+                    missing.append(d)
+                else:
+                    found.append(d)
+                    rows.append(row)
+            if rows:
+                taken = spans_col.take(rows)
+                if isinstance(taken, pa.ChunkedArray):
+                    chunks.extend(taken.chunks)
+                else:
+                    chunks.append(taken)
+        spans = pa.concat_arrays(chunks) if chunks else None
+        return found, spans, missing
+
     def lookup(self, doc_ids: List[str]) -> Tuple[Dict[str, list], List[str]]:
         """-> ({doc_id: spans} for hits, [missing doc_ids]).
 
@@ -142,3 +172,4 @@ class PlasmaDocStoreReader:
         return self._cache[part]
 
     lookup = DocStoreReader.lookup
+    lookup_arrow = DocStoreReader.lookup_arrow
