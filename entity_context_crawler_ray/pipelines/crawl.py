@@ -373,11 +373,22 @@ _SCHED_MARKER_COLS = ["n_denied", "n_admitted", "n_deferred"]
 
 
 def _make_bucket_scheduler(
-    in_dir: str, next_dir: str, bloom, politeness, config: CrawlConfig, round_id: int
+    in_dir: str,
+    next_dir: str,
+    bloom,
+    politeness,
+    config: CrawlConfig,
+    round_id: int,
+    num_buckets: int,
 ):
     """One task per frontier bucket: read -> combine -> probe -> admit
     (ONE politeness call) -> defer-write -> local top-budget truncate.
-    Emits admitted rows plus one counter marker row (url = null)."""
+    Emits admitted rows plus one counter marker row (url = null).
+
+    ``num_buckets`` is resolved ONCE in crawl() and threaded through —
+    auto mode re-queried cluster CPUs per call site, so an autoscaling
+    cluster could give producers of the same round dir different
+    host→bucket mappings, breaking the one-url-one-bucket invariant."""
     num_shards = config.num_politeness_shards
 
     def schedule_bucket(batch: pa.Table) -> pa.Table:
@@ -498,7 +509,7 @@ def _make_bucket_scheduler(
                 _as_candidates(defer_tbl),
                 next_dir,
                 f"defer-{b}",
-                config.num_frontier_buckets(),
+                num_buckets,
                 num_shards,
             )
             admitted_tbl = (
@@ -536,6 +547,7 @@ def _schedule_round_bucketed(
     politeness,
     config: CrawlConfig,
     round_id: int,
+    num_buckets: int,
 ):
     """Distributed round scheduling over the bucketed frontier dir.
     Returns (fetch_tbl, deferred_rows_written, n_denied, n_admitted).
@@ -552,7 +564,9 @@ def _schedule_round_bucketed(
     sched = ray.data.from_arrow(
         pa.table({"bucket": pa.array(bucket_ids, pa.int32())})
     ).map_batches(
-        _make_bucket_scheduler(in_dir, next_dir, bloom, politeness, config, round_id),
+        _make_bucket_scheduler(
+            in_dir, next_dir, bloom, politeness, config, round_id, num_buckets
+        ),
         batch_format="pyarrow",
         batch_size=1,
         num_cpus=1,
@@ -581,7 +595,7 @@ def _schedule_round_bucketed(
             _as_candidates(cut),
             next_dir,
             "spill",
-            config.num_frontier_buckets(),
+            num_buckets,
             config.num_politeness_shards,
         )
     if fetch_tbl.num_rows:
@@ -740,7 +754,7 @@ def crawl(
     if not resume:
         shutil.rmtree(os.path.join(out_dir, "frontier"), ignore_errors=True)
     if resume and ckpt_dir is not None and latest_round(ckpt_dir) is not None:
-        state = load_checkpoint(ckpt_dir)
+        state = load_checkpoint(ckpt_dir, out_dir=out_dir)
         start_round = state["round"] + 1
         if state.get("frontier_dir"):
             frontier_dir = state["frontier_dir"]
@@ -820,7 +834,7 @@ def crawl(
                 frontier_tbl = None
             shutil.rmtree(next_dir, ignore_errors=True)
             fetch_tbl, n_deferred, n_denied, n_admitted = _schedule_round_bucketed(
-                frontier_dir, next_dir, bloom, politeness, config, round_id
+                frontier_dir, next_dir, bloom, politeness, config, round_id, num_buckets
             )
         else:
             if frontier_tbl is None:
@@ -1114,6 +1128,7 @@ def crawl(
                 ray.get([h.snapshot.remote() for h in politeness]),
                 frontier_dir=frontier_dir,
                 frontier_rows=frontier_rows,
+                out_dir=out_dir,
             )
         if consumed_dir is not None:
             # the round consumed its input frontier dir; only the next

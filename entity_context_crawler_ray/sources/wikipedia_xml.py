@@ -196,10 +196,30 @@ def _scan_forward(fh, pos: int, needle: bytes, chunk: int = 1 << 20) -> Optional
         carry = hay[-(len(needle) - 1) :]
 
 
+def _scan_backward(fh, size: int, needle: bytes, chunk: int = 1 << 20) -> Optional[int]:
+    """LAST occurrence of ``needle``, scanning backward from EOF in
+    buffered windows — for the closing root tag this touches one tail
+    window, never the body of the dump."""
+    end = size
+    carry = b""
+    while end > 0:
+        start = max(0, end - chunk)
+        fh.seek(start)
+        hay = fh.read(end - start) + carry
+        hit = hay.rfind(needle)
+        if hit >= 0:
+            return start + hit
+        carry = hay[: len(needle) - 1]
+        end = start
+    return None
+
+
 def _page_split_offsets(path: str, num_splits: int) -> List[Tuple[int, int]]:
     """[(start, end)) byte ranges aligned to ``<page`` boundaries.
-    Driver cost: ``num_splits`` seeks + short forward scans — never a
-    full read of the dump."""
+    Driver cost: ``num_splits`` seeks + short forward scans, plus ONE
+    tail window scanned backward for ``</mediawiki`` — never a full
+    read of the dump (a raw ``<`` inside page text is XML-escaped, so
+    the last occurrence is the real closing tag)."""
     size = os.path.getsize(path)
     needle = b"<page"
     with open(path, "rb") as fh:
@@ -211,7 +231,7 @@ def _page_split_offsets(path: str, num_splits: int) -> List[Tuple[int, int]]:
             off = _scan_forward(fh, size * i // num_splits, needle)
             if off is not None:
                 bounds.add(off)
-        end = _scan_forward(fh, 0, b"</mediawiki")
+        end = _scan_backward(fh, size, b"</mediawiki")
     starts = sorted(bounds)
     stops = starts[1:] + [end if end is not None else size]
     return [(s, e) for s, e in zip(starts, stops) if e > s]

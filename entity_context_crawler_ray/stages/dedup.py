@@ -640,19 +640,39 @@ def connected_components(
         batch_format="pyarrow",
     ).materialize()
     prev_sum = None
+    converged = False
     from ray.data.aggregate import Min
 
+    from .relational import hash_join_bucketed
+
     for _ in range(max_iters):
-        prop = both.join(
-            labels, "inner", 8, on=("v",), right_on=("u",), right_suffix="_r"
-        ).select_columns(["u", "label"])
+        # bucketed co-group join (not the native Dataset.join: its hash
+        # aggregator can emit schema-less empty partitions on small or
+        # skewed inputs, failing the arrow join nondeterministically)
+        prop = (
+            hash_join_bucketed(both, labels, on="v", right_on="u", suffix="_r")
+            .select_columns(["u", "label"])
+            # normalize to arrow blocks: the bucketed join emits pandas
+            # blocks and union() requires homogeneous block types
+            .map_batches(lambda t: t, batch_format="pyarrow")
+        )
         labels = (
             labels.union(prop).groupby("u").aggregate(Min("label", alias_name="label"))
         ).materialize()
         s = labels.sum("label")
         if s == prev_sum:
+            converged = True
             break
         prev_sum = s
+    if not converged:
+        # the label sum was still decreasing on the last iteration: a
+        # component with diameter > max_iters would silently come back
+        # split — fail loudly instead of returning wrong clusters
+        raise RuntimeError(
+            f"connected_components: min-label propagation did not converge "
+            f"within max_iters={max_iters} (a component's diameter exceeds "
+            f"the iteration budget); raise max_iters"
+        )
     return labels.map_batches(
         lambda t: pa.table({id_col: t["u"], "component": t["label"]}),
         batch_format="pyarrow",

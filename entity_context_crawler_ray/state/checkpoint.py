@@ -36,13 +36,20 @@ def save_checkpoint(
     *,
     frontier_dir: Optional[str] = None,
     frontier_rows: Optional[int] = None,
+    out_dir: Optional[str] = None,
 ) -> None:
     """``frontier`` is the small driver-resident table, OR None with
     ``frontier_dir`` pointing at the bucketed on-storage frontier (the
     10^10-URL regime: the checkpoint then records a REFERENCE — the
     frontier is already durable parquet, re-writing it here would be a
-    second full copy per round)."""
+    second full copy per round).
+
+    When ``out_dir`` is given, ``frontier_dir`` is stored RELATIVE to
+    it, so a checkpoint survives the output tree being moved or
+    mounted at a different path on resume."""
     assert (frontier is None) != (frontier_dir is None)
+    if frontier_dir is not None and out_dir is not None:
+        frontier_dir = os.path.relpath(frontier_dir, out_dir)
     d = _round_dir(ckpt_dir, round_id)
     os.makedirs(d, exist_ok=True)
     if frontier is not None:
@@ -90,7 +97,16 @@ def latest_round(ckpt_dir: str) -> Optional[int]:
     return best
 
 
-def load_checkpoint(ckpt_dir: str, round_id: Optional[int] = None) -> Dict:
+def load_checkpoint(
+    ckpt_dir: str,
+    round_id: Optional[int] = None,
+    out_dir: Optional[str] = None,
+) -> Dict:
+    """Load a checkpoint.  A relative ``frontier_dir`` in the manifest
+    is resolved against ``out_dir``; a referenced frontier dir that no
+    longer exists (e.g. an earlier round whose frontier was consumed
+    and deleted by the crawl loop) fails loudly here instead of
+    resuming into an empty frontier."""
     if round_id is None:
         round_id = latest_round(ckpt_dir)
     assert round_id is not None, f"no complete checkpoint under {ckpt_dir}"
@@ -98,7 +114,20 @@ def load_checkpoint(ckpt_dir: str, round_id: Optional[int] = None) -> Dict:
     with open(os.path.join(d, "manifest.json")) as fh:
         manifest = json.load(fh)
     frontier = None
-    if manifest.get("frontier_dir") is None:
+    fdir = manifest.get("frontier_dir")
+    if fdir is not None:
+        if not os.path.isabs(fdir):
+            fdir = os.path.join(out_dir, fdir) if out_dir else os.path.abspath(fdir)
+        if not os.path.isdir(fdir):
+            raise FileNotFoundError(
+                f"checkpoint round={round_id} references frontier dir "
+                f"{fdir!r} which does not exist — the crawl loop deletes "
+                f"consumed frontier dirs, so only the LATEST checkpoint's "
+                f"frontier is resumable; resume from latest_round() or "
+                f"re-crawl"
+            )
+        manifest["frontier_dir"] = fdir
+    else:
         store = get_store()
         frontier = store.read_table(os.path.join(d, "frontier" + store.suffix))
     with open(os.path.join(d, "bloom.pkl"), "rb") as fh:

@@ -132,11 +132,50 @@ class PolitenessShard:
         return self.hosts[host]
 
     def admit(self, round_id: int, host: str, urls_by_priority: List[str]):
+        """Idempotent per (round, host).  The cache stores a COMPACT
+        record — (n_urls, n_room, n_take) — not the URL lists: a
+        retried call arrives with the identical (deterministically
+        ordered) url list, so the full decision is replayed from the
+        two boundary counts + the static deny prefixes.  Without this,
+        a bucketed round over millions of hosts would retain every
+        URL string of the round in actor memory."""
         key = ("admit", round_id, host)
-        if key not in self._cache:
-            self._cache[key] = self._host(host).admit(round_id, urls_by_priority)
+        hit = self._cache.get(key)
+        if hit is None:
+            adm, dfr, den = self._host(host).admit(round_id, urls_by_priority)
+            self._cache[key] = (
+                len(urls_by_priority),
+                len(adm) + len(dfr),
+                len(adm),
+            )
             self._evict_cache(round_id)
-        return self._cache[key]
+            return adm, dfr, den
+        n_urls, n_room, n_take = hit
+        if n_urls != len(urls_by_priority):
+            raise ValueError(
+                f"politeness replay mismatch for {(round_id, host)}: "
+                f"cached n_urls={n_urls}, got {len(urls_by_priority)}"
+            )
+        return self._replay_admit(host, urls_by_priority, n_room, n_take)
+
+    def _replay_admit(
+        self, host: str, urls: List[str], n_room: int, n_take: int
+    ) -> Tuple[List[str], List[str], List[str]]:
+        """Reconstruct an earlier admit decision from its boundary
+        counts: the original walk denies prefix matches, cuts
+        ``allowed`` at the lifetime-budget ``room``, then admits the
+        first ``take`` — all order-preserving, so counts suffice."""
+        prefixes = self._host(host).deny_prefixes
+        allowed: List[str] = []
+        denied: List[str] = []
+        for url in urls:
+            if any(url.startswith(p) for p in prefixes):
+                denied.append(url)
+            else:
+                allowed.append(url)
+        denied.extend(allowed[n_room:])
+        allowed = allowed[:n_room]
+        return allowed[:n_take], allowed[n_take:], denied
 
     def admit_many(
         self, round_id: int, hosts: List[str], url_lists: List[List[str]]

@@ -6,6 +6,7 @@ import os
 import shutil
 
 import pandas as pd
+import pyarrow as pa
 import pyarrow.dataset as pads
 import pyarrow.parquet as pq
 import pytest
@@ -552,3 +553,128 @@ def test_crawl_regime_transitions_match_simulator(store_and_inputs):
     assert list(zip(log["round"], log["rank"], log["url"])) == sim["fetch_log"]
     assert set(log["url"]) == sim["seen"]
     assert glob.glob(f"{out}/frontier/round=*") == []  # all consumed+cleaned
+
+
+def test_politeness_admit_replay_compact():
+    """Retried admit calls replay the cached decision exactly — and the
+    cache stores only boundary counts, never the URL lists (a bucketed
+    round over millions of hosts must not retain the round's URL
+    strings in actor memory)."""
+    from entity_context_crawler_ray.state.politeness import PolitenessShard
+
+    shard = PolitenessShard(
+        {
+            "capacity": 3,
+            "refill": 1,
+            "deny": {"h": ["http://h/private"]},
+            "budget": {"h": 4},
+        }
+    )
+    urls = [f"http://h/{i}" for i in range(5)] + ["http://h/private/x"]
+    first = shard.admit(0, "h", urls)
+    again = shard.admit(0, "h", urls)
+    assert first == again
+    adm, dfr, den = first
+    assert len(adm) == 3 and den == ["http://h/private/x", "http://h/4"]
+    # compact cache: ints only, no url strings retained
+    entry = shard._cache[("admit", 0, "h")]
+    assert entry == (6, 4, 3)
+    # a replay with a different url list is a contract violation
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        shard.admit(0, "h", urls[:2])
+    # batched form goes through the same compact cache
+    statuses = shard.admit_many(0, ["h"], [urls])
+    assert statuses[0] == ["admit"] * 3 + ["defer", "deny", "deny"]
+
+
+def test_checkpoint_frontier_dir_relative_and_validated(tmp_path):
+    """Bucketed checkpoints store frontier_dir relative to out_dir (the
+    output tree may be remounted elsewhere on resume) and
+    load_checkpoint fails loudly on a dangling frontier reference."""
+    import json
+
+    import pytest as _pytest
+
+    from entity_context_crawler_ray.state.checkpoint import (
+        load_checkpoint,
+        save_checkpoint,
+    )
+
+    out_dir = tmp_path / "out"
+    fdir = out_dir / "frontier" / "round=3"
+    fdir.mkdir(parents=True)
+    ckpt = str(tmp_path / "ckpt")
+    save_checkpoint(
+        ckpt,
+        2,
+        None,
+        [{}],
+        [{}],
+        frontier_dir=str(fdir),
+        frontier_rows=7,
+        out_dir=str(out_dir),
+    )
+    with open(os.path.join(ckpt, "round=2", "manifest.json")) as fh:
+        manifest = json.load(fh)
+    assert manifest["frontier_dir"] == os.path.join("frontier", "round=3")
+
+    # resolves against a MOVED output tree
+    moved = tmp_path / "moved"
+    os.rename(out_dir, moved)
+    state = load_checkpoint(ckpt, out_dir=str(moved))
+    assert state["frontier_dir"] == str(moved / "frontier" / "round=3")
+    assert state["frontier_rows"] == 7
+
+    # dangling reference (consumed frontier dir) fails loudly
+    with _pytest.raises(FileNotFoundError):
+        load_checkpoint(ckpt, out_dir=str(tmp_path / "nowhere"))
+
+
+def test_connected_components_nonconvergence_raises(ray_session):
+    """Distributed min-label propagation must not silently return split
+    components when max_iters is exhausted mid-convergence."""
+    import pytest as _pytest
+    import ray.data as rd
+
+    from entity_context_crawler_ray.stages.dedup import connected_components
+
+    chain = pa.table({"a": [0, 1, 2, 3], "b": [1, 2, 3, 4]})
+    nodes = pa.table({"doc_id": list(range(5))})
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(
+            rd.from_arrow(chain),
+            rd.from_arrow(nodes),
+            mode="distributed",
+            max_iters=1,
+        ).to_pandas()
+    # with room to converge the same chain labels as one component
+    out = connected_components(
+        rd.from_arrow(chain),
+        rd.from_arrow(nodes),
+        mode="distributed",
+        max_iters=16,
+    ).to_pandas()
+    assert set(out["component"]) == {0}
+
+
+def test_xml_backward_scan_finds_closing_tag(tmp_path):
+    """_page_split_offsets locates </mediawiki> by scanning a tail
+    window backward — the driver must never stream the whole dump."""
+    from entity_context_crawler_ray.sources.wikipedia_xml import (
+        _page_split_offsets,
+        _scan_backward,
+    )
+
+    body = b"<mediawiki>" + b"<page>x</page>" * 1000 + b"</mediawiki>\n"
+    p = tmp_path / "dump.xml"
+    p.write_bytes(body)
+    with open(p, "rb") as fh:
+        # tiny chunk forces multiple backward windows incl. a
+        # needle-straddling boundary
+        hit = _scan_backward(fh, len(body), b"</mediawiki", chunk=7)
+    assert hit == body.rfind(b"</mediawiki")
+    ranges = _page_split_offsets(str(p), 4)
+    assert ranges[0][0] == body.find(b"<page")
+    assert ranges[-1][1] == body.rfind(b"</mediawiki")
