@@ -1139,16 +1139,18 @@ WHERE CAST(('0x' || substr(md5('sample' || CAST(doc_id AS VARCHAR)), 1, 16)) AS 
 
 
 def q_media_decode(sf_dir: str):
+    """REAL bitstream decode: deterministic raw PPM/BMP bytes per ref
+    through the pure-numpy parsers (stages/media.decode_image_bytes)."""
     docs_ds = docsrc.read_docs(sf_dir)
-    decoded = media.decode_media(docs_ds, fake=True)
+    decoded = media.decode_media(docs_ds)
     return decoded.drop_columns(["payload"])
 
 
 def q_media_embed(sf_dir: str):
-    """decode -> resize -> actor-pool batched embedding (multimodal
-    feature-extract plumbing; kernel deterministic-fake)."""
+    """decode (real bitstreams) -> resize (real nearest-neighbor) ->
+    actor-pool batched embedding (deterministic projection model)."""
     docs_ds = docsrc.read_docs(sf_dir)
-    decoded = media.resize_media(media.decode_media(docs_ds, fake=True))
+    decoded = media.resize_media(media.decode_media(docs_ds))
     emb = media.embed_media(decoded, dim=16)
     return emb.map_batches(
         lambda t: pa.table(
