@@ -452,22 +452,86 @@ def test_crawl_depth2_matches_simulator(store_and_inputs):
     assert set(log["url"]) == sim["seen"]
 
 
-def test_storage_interface_roundtrip(tmp_path):
+def _storage_backend(name: str):
+    from entity_context_crawler_ray.state import storage
+
+    if name == "lance":
+        pytest.importorskip("lance")
+        return storage.LanceStore()
+    return storage.ParquetStore()
+
+
+@pytest.mark.parametrize("backend", ["parquet", "lance"])
+def test_storage_interface_roundtrip(tmp_path, backend):
     """The single storage seam (state/storage.py): table round-trip,
-    column pruning, suffix-aware listing — and the checkpoint module
-    routes through it."""
+    column pruning, suffix-aware listing, overwrite-on-retry — under
+    BOTH backends (the lance leg skips when the package is absent in
+    this sandbox, it does not disappear)."""
     import pyarrow as pa
 
-    from entity_context_crawler_ray.state.storage import ParquetStore, get_store
-
-    store = ParquetStore()
+    store = _storage_backend(backend)
     t = pa.table({"a": [1, 2, 3], "b": ["x", "y", "z"]})
     p = str(tmp_path / ("t" + store.suffix))
     store.write_table(t, p)
     assert store.read_table(p).equals(t)
     assert store.read_table(p, columns=["b"]).column_names == ["b"]
     assert store.list_tables(str(tmp_path / "*")) == [p]
-    assert isinstance(get_store(), ParquetStore)  # default backend
+    # retry-idempotent overwrite (lance: a new dataset version; parquet:
+    # file replace) — readers see exactly the latest write either way
+    t2 = pa.table({"a": [9], "b": ["w"]})
+    store.write_table(t2, p)
+    assert store.read_table(p).equals(t2)
+
+
+def test_storage_backend_selection(monkeypatch):
+    """get_store honors ECC_STORAGE_BACKEND (fresh singleton per
+    selection); the default is parquet."""
+    from entity_context_crawler_ray.state import storage
+
+    monkeypatch.setattr(storage, "_STORE", None)
+    monkeypatch.delenv("ECC_STORAGE_BACKEND", raising=False)
+    assert isinstance(storage.get_store(), storage.ParquetStore)
+    monkeypatch.setattr(storage, "_STORE", None)
+    monkeypatch.setenv("ECC_STORAGE_BACKEND", "lance")
+    try:
+        store = storage.get_store()
+    except ImportError:
+        pytest.skip("lance not installed — selection path exercised")
+    assert isinstance(store, storage.LanceStore)
+
+
+@pytest.mark.parametrize("backend", ["lance"])
+def test_crawl_on_lance_backend(store_and_inputs, monkeypatch, backend):
+    """End-to-end crawl with the frontier/checkpoint store on Lance —
+    the north_rule's storage target.  Skips (never deletes) when the
+    package is absent; on machines with lance this drives the bucketed
+    frontier + checkpoints through real Lance datasets."""
+    pytest.importorskip("lance")
+    from entity_context_crawler_ray.state import storage
+
+    monkeypatch.setenv("ECC_STORAGE_BACKEND", "lance")
+    monkeypatch.setattr(storage, "_STORE", None)
+    store, ref, docs_local, idx, seeds = store_and_inputs
+    cfg = CrawlConfig(
+        max_depth=1,
+        round_budget=40,
+        capacity=5,
+        refill=3,
+        num_bloom_shards=2,
+        num_politeness_shards=2,
+        doc_store_partitions=8,
+        max_rounds=40,
+        driver_threshold=0,  # force the bucketed (on-storage) frontier
+    )
+    metrics, out = _run(store, ref, seeds, cfg, "lance_backend")
+    sim = simulate_crawl(
+        docs_local,
+        list(zip(seeds["url"].to_pylist(), seeds["priority"].to_pylist())),
+        idx["title_to_eid"],
+        cfg,
+    )
+    log = _read_fetch_log(out)
+    assert list(zip(log["round"], log["rank"], log["url"])) == sim["fetch_log"]
 
 
 def test_crawl_wallclock_politeness_smoke(store_and_inputs):
