@@ -103,7 +103,7 @@ def cmd_build_matches(args) -> int:
 
     docs = _read_docs_input(args.input, args.limit_pages)
     entities = _read_entities(args.entities)
-    combined = build_matches(docs, entities)
+    combined = build_matches(docs, entities, tokenizer=getattr(args, "tokenizer", "spec"))
     if args.in_memory:
         # reference --in-memory builds fully before persisting
         # (cmd/build_matches_db.py:129-141); here: materialize then write
@@ -237,6 +237,13 @@ def main(argv: Optional[List[str]] = None) -> int:
     p1.add_argument("out", help="output matches store dir")
     p1.add_argument("--in-memory", dest="in_memory", action="store_true")
     p1.add_argument("--limit-pages", dest="limit_pages", type=int, default=None)
+    p1.add_argument(
+        "--tokenizer",
+        choices=["spec", "spacy"],
+        default="spec",
+        help="'spacy' plugs a real spaCy pipeline into the match "
+        "actors (conformance comparison; requires the package)",
+    )
     p1.add_argument("--overwrite", action="store_true")
 
     p2 = sub.add_parser("build-contexts-db")

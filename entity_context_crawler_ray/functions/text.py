@@ -123,6 +123,34 @@ def sql_window(text: str, start_char: int, end_char: int, size: int) -> str:
     return text[a - 1 : a - 1 + length]
 
 
+def make_spacy_tokenizer(model: str = "en_core_web_sm"):
+    """Optional conformance escape hatch (SURVEY.md §7.6.1): a
+    tokenizer with the same ``tokenize`` signature backed by a REAL
+    spaCy pipeline, for measuring the deterministic spec's divergence
+    against the reference's actual tokenization (reference
+    cmd/build_matches_db.py:220 loads ``en_core_web_lg``).  Raises
+    ImportError when spaCy is not installed (this sandbox) — callers
+    gate on that and the comparison tooling skips, it never fakes.
+
+    Non-space tokens map to the spec's Token triples; offsets are
+    spaCy's ``idx`` (codepoint-based, same coordinate system)."""
+    import spacy  # noqa: F401 — ImportError is the gate
+
+    try:
+        nlp = spacy.load(model, disable=["parser", "ner", "lemmatizer", "tagger"])
+    except OSError:  # model not downloaded — blank pipeline tokenizes fine
+        nlp = spacy.blank("en")
+
+    def spacy_tokenize(text: str) -> List[Token]:
+        return [
+            (t.text, t.idx, t.idx + len(t.text))
+            for t in nlp.tokenizer(text)
+            if not t.is_space
+        ]
+
+    return spacy_tokenize
+
+
 def crop_tokens(context: str) -> str:
     """Token-mode crop: drop first and last token (possibly clipped),
     join the rest with a single space.

@@ -28,13 +28,16 @@ def build_matches(
     *,
     concurrency: int | tuple = 2,
     batch_size: int = 64,
+    tokenizer: str = "spec",
 ) -> ray.data.Dataset:
     """docs -> combined rows (lazy).  Entity indexes are broadcast via
-    ``ray.put`` once and read per actor in ``PageProcessor.__init__``."""
+    ``ray.put`` once and read per actor in ``PageProcessor.__init__``.
+    ``tokenizer='spacy'`` plugs a real spaCy pipeline into the actors
+    (conformance comparison; requires the package)."""
     ref = ray.put(entities_index(entities))
     return docs.map_batches(
         PageProcessor,
-        fn_constructor_args=(ref,),
+        fn_constructor_args=(ref, tokenizer),
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,

@@ -171,13 +171,14 @@ class CombinedBuilder:
         doc_idx: int,
         title_to_eid: Dict[str, str],
         eid_to_label: Dict[str, str],
+        tok=None,
     ) -> bool:
         """Append one page; on any per-page exception, roll back the
         partial appends and record an error row instead.  Returns True
         when the page extracted cleanly."""
         marks = [len(getattr(self, n)) for n in self._SCALARS + self._FLAT]
         try:
-            self._extract(title, spans, doc_idx, title_to_eid, eid_to_label)
+            self._extract(title, spans, doc_idx, title_to_eid, eid_to_label, tok)
             return True
         except Exception as exc:  # noqa: BLE001 — poison-row guard
             for n, mark in zip(self._SCALARS + self._FLAT, marks):
@@ -195,12 +196,16 @@ class CombinedBuilder:
         doc_idx: int,
         title_to_eid: Dict[str, str],
         eid_to_label: Dict[str, str],
+        tok=None,
     ) -> None:
         """Pure per-doc logic (reference _process_page,
         cmd/build_matches_db.py:241-317), over the interleaved-span
         schema: link spans play the role of wikilinks, text spans of
         plain text.  Spans are processed in ``offset`` order (the
-        per-row invariant)."""
+        per-row invariant).  ``tok`` overrides the deterministic spec
+        tokenizer (e.g. functions.text.make_spacy_tokenizer for the
+        conformance comparison)."""
+        tok = tok or tokenize
         lo = int(spans.offs[doc_idx])
         hi = int(spans.offs[doc_idx + 1])
         order = lo + np.argsort(spans.offset[lo:hi], kind="stable")
@@ -232,7 +237,7 @@ class CombinedBuilder:
         # is cheap, built per doc like the reference
         # (cmd/build_matches_db.py:273-274)
         matcher = PhraseMatcher(mention_to_eid.keys())
-        toks = tokenize(clean_text)
+        toks = tok(clean_text)
         token_spans = matcher(toks)
 
         # pattern token-tuple -> eid: lookup via tokens; the mention
@@ -243,7 +248,7 @@ class CombinedBuilder:
         # must equal the slice, not the pattern surface
         pat_lookup = {}
         for m, eid in mention_to_eid.items():
-            pat_lookup[tuple(t[0] for t in tokenize(m))] = eid
+            pat_lookup[tuple(t[0] for t in tok(m))] = eid
 
         n_matches = 0
         text_n = len(clean_text)
@@ -356,15 +361,26 @@ class PageProcessor:
     ``sources.docs.entities_index`` (broadcast once, read per actor —
     never re-shipped per batch)."""
 
-    def __init__(self, entities_ref):
+    def __init__(self, entities_ref, tokenizer: str = "spec"):
         idx = ray.get(entities_ref) if isinstance(entities_ref, ray.ObjectRef) else entities_ref
         self.title_to_eid: Dict[str, str] = idx["title_to_eid"]
         self.eid_to_label: Dict[str, str] = idx["eid_to_label"]
+        # conformance escape hatch: ``tokenizer='spacy'`` loads a REAL
+        # spaCy pipeline ONCE PER ACTOR (the reference's model load,
+        # cmd/build_matches_db.py:220) so divergence from the
+        # deterministic spec is measurable, not just asserted
+        self.tok = None
+        if tokenizer == "spacy":
+            from ..functions.text import make_spacy_tokenizer
+
+            self.tok = make_spacy_tokenizer()
+        elif tokenizer != "spec":
+            raise ValueError(f"unknown tokenizer {tokenizer!r}")
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         b = CombinedBuilder()
         titles = batch["doc_id"].to_pylist()
         spans = SpanColumns(batch["spans"])
         for i, title in enumerate(titles):
-            b.add_doc(title, spans, i, self.title_to_eid, self.eid_to_label)
+            b.add_doc(title, spans, i, self.title_to_eid, self.eid_to_label, self.tok)
         return b.table()

@@ -434,3 +434,50 @@ def test_media_resize_embed_frames():
     per_ref = frames.groupby("media_ref").size()
     assert (per_ref <= 11).all()  # duration <= 10.5s at 1s intervals
     assert (frames["ts_ms"] % 1000 == 0).all()
+
+
+def test_spacy_tokenizer_plug():
+    """The conformance escape hatch: PageProcessor(tokenizer='spacy')
+    loads a real spaCy pipeline per actor.  Runs only where spacy is
+    installed (skipped-not-deleted in this sandbox); the plug's error
+    path and the unknown-tokenizer guard are tested everywhere."""
+    import pyarrow as pa
+
+    from entity_context_crawler_ray.sources.docs import entities_index
+    from entity_context_crawler_ray.stages.match import PageProcessor
+
+    ents = pa.table(
+        {"entity_id": ["E1"], "label": ["Alpha Beta"], "page_title": ["P1"]}
+    )
+    idx = entities_index(ents)
+    with pytest.raises(ValueError, match="unknown tokenizer"):
+        PageProcessor(idx, tokenizer="nope")
+    pytest.importorskip("spacy")
+    from entity_context_crawler_ray.functions.text import (
+        make_spacy_tokenizer,
+        tokenize,
+    )
+
+    proc = PageProcessor(idx, tokenizer="spacy")
+    batch = pa.table(
+        {
+            "doc_id": ["d1"],
+            "spans": pa.array(
+                [[
+                    {"kind": "link", "text": "Alpha Beta", "media_ref": "P1", "offset": 0},
+                    {"kind": "text", "text": "This sentence mentions Alpha Beta prominently today.", "media_ref": "", "offset": 1},
+                ]],
+                type=pa.list_(pa.struct([
+                    ("kind", pa.string()), ("text", pa.string()),
+                    ("media_ref", pa.string()), ("offset", pa.int32()),
+                ])),
+            ),
+        }
+    )
+    out = proc(batch).to_pylist()[0]
+    assert out["error"] == ""
+    # on plain prose both tokenizers agree
+    tok = make_spacy_tokenizer()
+    assert [t[0] for t in tok("Alpha Beta today.")] == [
+        t[0] for t in tokenize("Alpha Beta today.")
+    ]
