@@ -27,7 +27,7 @@ def entry() -> Any:
     import ray.data
 
     from entity_context_crawler_ray.pipelines.build_contexts import build_contexts
-    from entity_context_crawler_ray.pipelines.build_matches import mentions_view
+    from entity_context_crawler_ray.pipelines.build_matches import mentions_pairs_view
     from entity_context_crawler_ray.pipelines.crawl import CrawlConfig, crawl
     from entity_context_crawler_ray.sources import docs as docsrc
     from entity_context_crawler_ray.sources.doc_store import write_doc_store
@@ -69,7 +69,7 @@ def entry() -> Any:
         crawled,
         ents,
         docsrc.id_map_table(sf_dir),
-        mentions_view(crawled).select_columns(["entity_id", "mention"]),
+        mentions_pairs_view(crawled),
         context_size=100,
         limit_contexts=10,
     )

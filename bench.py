@@ -54,7 +54,7 @@ def run_bench() -> dict:
 
     from entity_context_crawler_ray.functions.hashing import stable_hash64
     from entity_context_crawler_ray.pipelines.build_contexts import build_contexts
-    from entity_context_crawler_ray.pipelines.build_matches import mentions_view
+    from entity_context_crawler_ray.pipelines.build_matches import mentions_pairs_view
     from entity_context_crawler_ray.pipelines.crawl import CrawlConfig, crawl
     from entity_context_crawler_ray.pipelines import queries as Q
     from entity_context_crawler_ray.sources import docs as docsrc
@@ -168,7 +168,7 @@ def run_bench() -> dict:
             crawled,
             ents,
             docsrc.id_map_table(SF_DIR),
-            mentions_view(crawled).select_columns(["entity_id", "mention"]),
+            mentions_pairs_view(crawled),
             context_size=100,
             limit_contexts=10,
         )

@@ -20,3 +20,24 @@ sessions are owned by bench.py / the test fixture / the driver.
 """
 
 __version__ = "0.1.0"
+
+import logging as _logging
+
+
+class _SchemaHashNoise(_logging.Filter):
+    """Suppress one known-cosmetic Ray Data warning: its schema-dedup
+    fast path hashes pa.Schema objects, which raises for any schema
+    carrying parquet/pandas key-value metadata in this pyarrow build
+    ("Failed to hash the schemas ... unhashable type: 'dict'").  The
+    slow unify path then runs correctly — the warning is pure noise on
+    every read of metadata-bearing parquet.  Installed here (workers
+    import this package to run the stage callables) so both driver and
+    worker logs stay clean; everything else from that logger passes."""
+
+    def filter(self, record: _logging.LogRecord) -> bool:  # noqa: A003
+        return "Failed to hash the schemas" not in record.getMessage()
+
+
+_logging.getLogger(
+    "ray.data._internal.arrow_ops.transform_pyarrow"
+).addFilter(_SchemaHashNoise())

@@ -129,7 +129,7 @@ def cmd_build_contexts(args) -> int:
         return 1
     _ensure_ray()
     from .pipelines.build_contexts import build_contexts, context_stats
-    from .pipelines.build_matches import mentions_view, read_store
+    from .pipelines.build_matches import mentions_pairs_view, read_store
 
     combined = read_store(args.matches).materialize()
     entities = _read_entities(args.entities)
@@ -138,7 +138,7 @@ def cmd_build_contexts(args) -> int:
         combined,
         entities,
         id_map,
-        mentions_view(combined).select_columns(["entity_id", "mention"]),
+        mentions_pairs_view(combined),
         context_size=args.context_size,
         crop_sentences=args.crop_sentences,
         limit_contexts=args.limit_contexts,

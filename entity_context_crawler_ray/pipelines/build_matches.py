@@ -124,24 +124,39 @@ def errors_view(combined: ray.data.Dataset) -> ray.data.Dataset:
     )
 
 
+def _explode_dedup_mentions(t: pa.Table) -> pa.Table:
+    """Per-batch partial dedup combiner for the mentions explode."""
+    t = t.filter(pc.equal(t["error"], "")).select(["mentions"])
+    out = _explode(t, "mentions", [])
+    return out.group_by(["entity_id", "mention"]).aggregate(
+        [("entity_label", "min")]
+    ).rename_columns(["entity_id", "mention", "entity_label"])
+
+
 def mentions_view(combined: ray.data.Dataset) -> ray.data.Dataset:
     """mentions table with exact dedup on (entity_id, mention)
     (reference UNIQUE constraint dao/matches_db.py:131).  Partial dedup
-    per batch first (combiner), then the global hash-partitioned
-    dedup — the shuffle moves only pre-deduped keys."""
-
-    def explode_dedup(t: pa.Table) -> pa.Table:
-        t = t.filter(pc.equal(t["error"], "")).select(["mentions"])
-        out = _explode(t, "mentions", [])
-        return out.group_by(["entity_id", "mention"]).aggregate(
-            [("entity_label", "min")]
-        ).rename_columns(["entity_id", "mention", "entity_label"])
+    per batch first (combiner), then ONE global hash aggregate — the
+    shuffle moves only pre-deduped keys and the dedup itself is a
+    vectorized Min, not a per-group Python call."""
+    from ray.data.aggregate import Min
 
     exploded = combined.map_batches(
-        explode_dedup, batch_format="pyarrow", zero_copy_batch=True
+        _explode_dedup_mentions, batch_format="pyarrow", zero_copy_batch=True
     )
     return (
         exploded.groupby(["entity_id", "mention"])
-        .map_groups(lambda g: g.head(1), batch_format="pandas")
+        .aggregate(Min("entity_label", alias_name="entity_label"))
         .select_columns(["entity_id", "entity_label", "mention"])
     )
+
+
+def mentions_pairs_view(combined: ray.data.Dataset) -> ray.data.Dataset:
+    """(entity_id, mention) pairs with PER-BATCH dedup only — the
+    input build_contexts' co-group needs: the per-entity pattern SET
+    collapses residual duplicates inside the group, so paying a global
+    dedup shuffle first is pure overhead (the exact-deduped table view
+    remains ``mentions_view``)."""
+    return combined.map_batches(
+        _explode_dedup_mentions, batch_format="pyarrow", zero_copy_batch=True
+    ).select_columns(["entity_id", "mention"])

@@ -691,9 +691,12 @@ def ecc_mentions(sf_dir: str):
 
 
 def _mentions_pairs(combined):
-    """Distinct (entity_id, mention) pairs as a Dataset — co-grouped
-    into build_contexts' groupby, never collected on the driver."""
-    return mentions_view(combined).select_columns(["entity_id", "mention"])
+    """(entity_id, mention) pairs as a Dataset (per-batch dedup only —
+    the co-group's pattern set collapses the rest), co-grouped into
+    build_contexts' groupby, never collected on the driver."""
+    from .build_matches import mentions_pairs_view
+
+    return mentions_pairs_view(combined)
 
 
 def ecc_contexts(sf_dir: str):
