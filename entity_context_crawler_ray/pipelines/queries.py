@@ -752,8 +752,9 @@ def _ensure_oracle_inputs() -> tuple:
     its ``documents`` view to select the matching slice."""
     docs_path = os.path.join(_ORACLE_INPUT_BASE, "docs.parquet")
     ents_path = os.path.join(_ORACLE_INPUT_BASE, "entities.parquet")
-    if os.path.exists(docs_path) and os.path.exists(ents_path):
-        return docs_path, ents_path
+    idmap_path = os.path.join(_ORACLE_INPUT_BASE, "id_map.parquet")
+    if all(os.path.exists(p) for p in (docs_path, ents_path, idmap_path)):
+        return docs_path, ents_path, idmap_path
     import glob as _glob
     import shutil as _shutil
 
@@ -761,6 +762,7 @@ def _ensure_oracle_inputs() -> tuple:
 
     corpus, doc_ids, kinds, texts, refs, offs = [], [], [], [], [], []
     e_corpus, e_eid, e_label, e_title = [], [], [], []
+    i_corpus, i_eid, i_rid = [], [], []
     for sf in sorted(_glob.glob("/root/testdata/sf*")):
         src = _pq.read_table(
             f"{sf}/documents.parquet", columns=["doc_id", "text", "n_chars"]
@@ -786,6 +788,13 @@ def _ensure_oracle_inputs() -> tuple:
             e_eid.append(eid)
             e_label.append(label)
             e_title.append(title)
+        idm = docsrc.id_map_table(sf)
+        for eid, rid in zip(
+            idm["entity_id"].to_pylist(), idm["rid"].to_pylist()
+        ):
+            i_corpus.append(fp)
+            i_eid.append(eid)
+            i_rid.append(rid)
     tmp = _ORACLE_INPUT_BASE + ".tmp"
     _shutil.rmtree(tmp, ignore_errors=True)
     os.makedirs(tmp)
@@ -813,9 +822,19 @@ def _ensure_oracle_inputs() -> tuple:
         ),
         os.path.join(tmp, "entities.parquet"),
     )
+    _pq.write_table(
+        pa.table(
+            {
+                "corpus": pa.array(i_corpus, pa.int64()),
+                "entity_id": pa.array(i_eid, pa.string()),
+                "rid": pa.array(i_rid, pa.int64()),
+            }
+        ),
+        os.path.join(tmp, "id_map.parquet"),
+    )
     _shutil.rmtree(_ORACLE_INPUT_BASE, ignore_errors=True)
     os.rename(tmp, _ORACLE_INPUT_BASE)
-    return docs_path, ents_path
+    return docs_path, ents_path, idmap_path
 
 
 # the cleaner as one SQL expression (same transform as SQL_DOC_CLEAN,
@@ -840,7 +859,7 @@ _SQL_CLEANER = r"""coalesce(array_to_string(
 def _ecc_oracle_prefix() -> str:
     """Shared CTE chain: derived inputs -> page text -> cleaner ->
     entity links -> ambiguity dedup -> phrase-match offset scan."""
-    docs_path, ents_path = _ensure_oracle_inputs()
+    docs_path, ents_path, _ = _ensure_oracle_inputs()
     cleaner = _SQL_CLEANER.format(col="page_text")
     return f"""
 WITH fp AS (SELECT CAST(sum(n_chars) AS BIGINT) AS v FROM documents),
@@ -959,6 +978,119 @@ def sql_ecc_mentions() -> str:
 SELECT entity_id, min(label) AS entity_label, mention
 FROM umen
 GROUP BY entity_id, mention
+"""
+
+
+def ecc_contexts_all(sf_dir: str):
+    """Stage 2 UNSAMPLED (limit_contexts=None): every match's ±100
+    window through crop (token mode) + strict-span pruning + masking +
+    rid lookup.  The sampled ``ecc_contexts`` can't be oracled (its
+    rank is blake2b); this variant exercises the identical operator
+    chain on all rows and IS SQL-expressible end to end."""
+    combined, ents = _combined(sf_dir)
+    return build_contexts(
+        combined,
+        ents,
+        docsrc.id_map_table(sf_dir),
+        _mentions_pairs(combined),
+        context_size=100,
+        limit_contexts=None,
+    )
+
+
+def sql_ecc_contexts_all() -> str:
+    _, _, idmap_path = _ensure_oracle_inputs()
+    return _ecc_oracle_prefix() + rf"""
+, idmap AS (
+  SELECT entity_id, rid FROM read_parquet('{idmap_path}')
+  WHERE corpus = (SELECT v FROM fp)
+),
+elig AS (
+  -- contexts-eligible entities: in id_map AND non-empty page title
+  SELECT e.entity_id, e.label, i.rid
+  FROM ents e JOIN idmap i USING (entity_id)
+  WHERE e.page_title <> ''
+),
+pat AS (
+  -- per-entity matcher patterns: label UNION global distinct mentions
+  SELECT DISTINCT m.entity_id, m.mention AS pattern
+  FROM umen m JOIN elig USING (entity_id)
+  UNION
+  SELECT entity_id, label AS pattern FROM elig
+),
+win AS (
+  -- the ±100 SQLite-SUBSTR-clamped window around each match
+  SELECT m.doc_id AS page_title, m.entity_id, m.mention,
+         substr(m.clean_text,
+                greatest(m.start_char + 1 - 100, 1),
+                least((m.start_char + 1 - greatest(m.start_char + 1 - 100, 1))
+                        + (m.end_char - m.start_char) + 100,
+                      length(m.clean_text))) AS wtext
+  FROM matches m JOIN elig USING (entity_id)
+),
+ctx AS (
+  -- token-mode crop: drop first + last token, rejoin with ' ';
+  -- empty crops filtered
+  SELECT row_number() OVER () AS ctx_id, page_title, entity_id, mention, context
+  FROM (
+    SELECT page_title, entity_id, mention,
+           CASE WHEN len(toks) > 2
+                THEN array_to_string(toks[2:len(toks)-1], ' ')
+                ELSE '' END AS context
+    FROM (SELECT *, regexp_extract_all(wtext, '{TOKEN_PATTERN}') AS toks FROM win)
+  ) WHERE context <> ''
+),
+nums2 AS (
+  SELECT CAST(unnest(range(1, (SELECT coalesce(max(length(context)), 0) + 2 FROM ctx))) AS BIGINT) AS off
+),
+cspan AS (
+  -- matcher spans over the cropped text (token-boundary scan; on the
+  -- single-space-joined crop, token-sequence equality == boundary-
+  -- aligned substring equality)
+  SELECT c.ctx_id, n.off - 1 AS s, n.off - 1 + length(p.pattern) AS e
+  FROM ctx c
+  JOIN pat p ON p.entity_id = c.entity_id
+  JOIN nums2 n ON n.off + length(p.pattern) - 1 <= length(c.context)
+  WHERE substr(c.context, n.off, length(p.pattern)) = p.pattern
+    AND (n.off = 1 OR NOT regexp_matches(
+          substr(c.context, n.off - 1, 1), '[A-Za-z0-9_]'))
+    AND (n.off + length(p.pattern) > length(c.context)
+         OR NOT regexp_matches(
+              substr(c.context, n.off + length(p.pattern), 1), '[A-Za-z0-9_]'))
+),
+kept AS (
+  -- strict-containment pruning: keep maximal spans only (token-index
+  -- containment maps 1:1 to char-range containment — both monotone)
+  SELECT a.ctx_id, a.s, a.e
+  FROM cspan a
+  WHERE NOT EXISTS (
+    SELECT 1 FROM cspan b
+    WHERE b.ctx_id = a.ctx_id AND b.s <= a.s AND b.e >= a.e
+      AND (b.s <> a.s OR b.e <> a.e)
+  )
+),
+chars AS (
+  SELECT c.ctx_id, n.off AS pos,
+         CASE WHEN EXISTS (
+                SELECT 1 FROM kept k
+                WHERE k.ctx_id = c.ctx_id AND n.off - 1 >= k.s AND n.off - 1 < k.e)
+              THEN '#' ELSE substr(c.context, n.off, 1) END AS ch
+  FROM ctx c JOIN nums2 n ON n.off <= length(c.context)
+),
+masked AS (
+  SELECT ctx_id, string_agg(ch, '' ORDER BY pos) AS masked_context
+  FROM chars GROUP BY ctx_id
+)
+SELECT CAST(e.rid AS BIGINT) AS entity,
+       e.label AS entity_label,
+       c.mention,
+       c.page_title,
+       c.context,
+       m.masked_context
+FROM ctx c
+JOIN masked m USING (ctx_id)
+JOIN elig e ON e.entity_id = c.entity_id
+WHERE EXISTS (SELECT 1 FROM kept k WHERE k.ctx_id = c.ctx_id)
 """
 
 
@@ -1539,6 +1671,7 @@ def queries() -> Dict[str, Callable]:
         "ecc_matches": ecc_matches,
         "ecc_mentions": ecc_mentions,
         "ecc_contexts": ecc_contexts,
+        "ecc_contexts_all": ecc_contexts_all,
         "ecc_contexts_sentences": ecc_contexts_sentences,
         "ecc_context_stats": ecc_context_stats,
         "ecc_crawl_log": ecc_crawl_log,
@@ -1594,4 +1727,5 @@ def oracle_sql() -> Dict[str, str]:
         "ecc_pages": sql_ecc_pages(),
         "ecc_matches": sql_ecc_matches(),
         "ecc_mentions": sql_ecc_mentions(),
+        "ecc_contexts_all": sql_ecc_contexts_all(),
     }
