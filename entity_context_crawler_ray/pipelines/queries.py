@@ -998,9 +998,11 @@ def ecc_contexts_all(sf_dir: str):
     )
 
 
-def sql_ecc_contexts_all() -> str:
+def _sql_ecc_contexts_head(size: int) -> str:
+    """Shared CTE chain for the stage-2 oracles: eligible entities,
+    per-entity pattern sets, and the ±size window around each match."""
     _, _, idmap_path = _ensure_oracle_inputs()
-    return _ecc_oracle_prefix() + rf"""
+    return rf"""
 , idmap AS (
   SELECT entity_id, rid FROM read_parquet('{idmap_path}')
   WHERE corpus = (SELECT v FROM fp)
@@ -1019,34 +1021,29 @@ pat AS (
   SELECT entity_id, label AS pattern FROM elig
 ),
 win AS (
-  -- the ±100 SQLite-SUBSTR-clamped window around each match
+  -- the ±{size} SQLite-SUBSTR-clamped window around each match
   SELECT m.doc_id AS page_title, m.entity_id, m.mention,
          substr(m.clean_text,
-                greatest(m.start_char + 1 - 100, 1),
-                least((m.start_char + 1 - greatest(m.start_char + 1 - 100, 1))
-                        + (m.end_char - m.start_char) + 100,
+                greatest(m.start_char + 1 - {size}, 1),
+                least((m.start_char + 1 - greatest(m.start_char + 1 - {size}, 1))
+                        + (m.end_char - m.start_char) + {size},
                       length(m.clean_text))) AS wtext
   FROM matches m JOIN elig USING (entity_id)
-),
-ctx AS (
-  -- token-mode crop: drop first + last token, rejoin with ' ';
-  -- empty crops filtered
-  SELECT row_number() OVER () AS ctx_id, page_title, entity_id, mention, context
-  FROM (
-    SELECT page_title, entity_id, mention,
-           CASE WHEN len(toks) > 2
-                THEN array_to_string(toks[2:len(toks)-1], ' ')
-                ELSE '' END AS context
-    FROM (SELECT *, regexp_extract_all(wtext, '{TOKEN_PATTERN}') AS toks FROM win)
-  ) WHERE context <> ''
-),
-nums2 AS (
+)
+"""
+
+
+# crop + mask tail shared by both crop modes: matcher span scan over
+# the cropped context (token-boundary; on single-space text token-
+# sequence equality == boundary-aligned substring equality), strict-
+# containment pruning (token-index containment maps 1:1 to char
+# ranges), '#' masking via per-position aggregation, spanless filter,
+# rid lookup.
+_SQL_ECC_CONTEXTS_TAIL = r"""
+, nums2 AS (
   SELECT CAST(unnest(range(1, (SELECT coalesce(max(length(context)), 0) + 2 FROM ctx))) AS BIGINT) AS off
 ),
 cspan AS (
-  -- matcher spans over the cropped text (token-boundary scan; on the
-  -- single-space-joined crop, token-sequence equality == boundary-
-  -- aligned substring equality)
   SELECT c.ctx_id, n.off - 1 AS s, n.off - 1 + length(p.pattern) AS e
   FROM ctx c
   JOIN pat p ON p.entity_id = c.entity_id
@@ -1059,8 +1056,6 @@ cspan AS (
               substr(c.context, n.off + length(p.pattern), 1), '[A-Za-z0-9_]'))
 ),
 kept AS (
-  -- strict-containment pruning: keep maximal spans only (token-index
-  -- containment maps 1:1 to char-range containment — both monotone)
   SELECT a.ctx_id, a.s, a.e
   FROM cspan a
   WHERE NOT EXISTS (
@@ -1092,6 +1087,102 @@ JOIN masked m USING (ctx_id)
 JOIN elig e ON e.entity_id = c.entity_id
 WHERE EXISTS (SELECT 1 FROM kept k WHERE k.ctx_id = c.ctx_id)
 """
+
+
+def sql_ecc_contexts_all() -> str:
+    # token-mode crop: drop first + last token, rejoin with ' ';
+    # empty crops filtered
+    ctx = rf"""
+, ctx AS (
+  SELECT row_number() OVER () AS ctx_id, page_title, entity_id, mention, context
+  FROM (
+    SELECT page_title, entity_id, mention,
+           CASE WHEN len(toks) > 2
+                THEN array_to_string(toks[2:len(toks)-1], ' ')
+                ELSE '' END AS context
+    FROM (SELECT *, regexp_extract_all(wtext, '{TOKEN_PATTERN}') AS toks FROM win)
+  ) WHERE context <> ''
+)
+"""
+    return (
+        _ecc_oracle_prefix()
+        + _sql_ecc_contexts_head(100)
+        + ctx
+        + _SQL_ECC_CONTEXTS_TAIL
+    )
+
+
+def ecc_contexts_sentences_all(sf_dir: str):
+    """Stage 2 UNSAMPLED, sentence-mode crop (see ecc_contexts_all)."""
+    combined, ents = _combined(sf_dir)
+    return build_contexts(
+        combined,
+        ents,
+        docsrc.id_map_table(sf_dir),
+        _mentions_pairs(combined),
+        context_size=150,
+        crop_sentences=True,
+        limit_contexts=None,
+    )
+
+
+def sql_ecc_contexts_sentences_all() -> str:
+    # sentence-mode crop (functions/text.py::crop_sentences_mode):
+    # split_sentences -> re-split on \n -> strip -> drop empties ->
+    # keep uppercase starts -> drop the last (possibly incomplete)
+    # sentence -> keep sentences where the matcher fires -> join '\n'
+    ctx = r"""
+, win2 AS (SELECT row_number() OVER () AS wid, * FROM win),
+numsW AS (
+  SELECT CAST(unnest(range(1, (SELECT coalesce(max(length(wtext)), 0) + 2 FROM win2))) AS BIGINT) AS off
+),
+slist AS (
+  SELECT wid, page_title, entity_id, mention,
+         list_filter(
+           list_transform(
+             flatten(list_transform(
+               string_split(regexp_replace(wtext, '([.!?])\s+', '\1' || chr(30), 'g'), chr(30)),
+               s -> string_split(s, chr(10)))),
+             s -> trim(s, ' ' || chr(9) || chr(10) || chr(13))),
+           s -> s <> '' AND substr(s, 1, 1) >= 'A' AND substr(s, 1, 1) <= 'Z'
+         ) AS upper_sents
+  FROM win2
+),
+sent AS (
+  SELECT c.wid, c.page_title, c.entity_id, c.mention, n.off AS si,
+         c.upper_sents[n.off] AS sent
+  FROM slist c JOIN numsW n ON n.off <= len(c.upper_sents) - 1
+),
+fire AS (
+  SELECT s.* FROM sent s
+  WHERE EXISTS (
+    SELECT 1 FROM pat p JOIN numsW n2
+      ON n2.off + length(p.pattern) - 1 <= length(s.sent)
+    WHERE p.entity_id = s.entity_id
+      AND substr(s.sent, n2.off, length(p.pattern)) = p.pattern
+      AND (n2.off = 1 OR NOT regexp_matches(
+            substr(s.sent, n2.off - 1, 1), '[A-Za-z0-9_]'))
+      AND (n2.off + length(p.pattern) > length(s.sent)
+           OR NOT regexp_matches(
+                substr(s.sent, n2.off + length(p.pattern), 1), '[A-Za-z0-9_]'))
+  )
+),
+ctx AS (
+  SELECT row_number() OVER () AS ctx_id, page_title, entity_id, mention, context
+  FROM (
+    SELECT wid, any_value(page_title) AS page_title,
+           any_value(entity_id) AS entity_id, any_value(mention) AS mention,
+           string_agg(sent, chr(10) ORDER BY si) AS context
+    FROM fire GROUP BY wid
+  )
+)
+"""
+    return (
+        _ecc_oracle_prefix()
+        + _sql_ecc_contexts_head(150)
+        + ctx
+        + _SQL_ECC_CONTEXTS_TAIL
+    )
 
 
 def ecc_crawl_log(sf_dir: str):
@@ -1141,6 +1232,47 @@ def q_embedding_neardup_lsh(sf_dir: str):
     recall vs the exact variant is unit-tested)."""
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     return dedup.embedding_neardup_lsh(ds, threshold=0.40, n_bits=4)
+
+
+def q_embedding_neardup_lsh_md5(sf_dir: str):
+    """Sign-LSH near-dup with md5-derived hyperplanes — the
+    oracle-checkable twin of q_embedding_neardup_lsh: DuckDB
+    reproduces the plane coefficients, the sign buckets, and the
+    within-bucket cosine filter exactly (normalization cannot flip a
+    dot-product sign, so the SQL buckets on the raw vectors)."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = dedup.embedding_neardup_lsh(
+        ds, threshold=0.40, n_bits=4, plane_hash="md5"
+    )
+    return out.select_columns(["vec_id_a", "vec_id_b"])
+
+
+SQL_EMBEDDING_NEARDUP_LSH_MD5 = """
+WITH dims AS (
+  SELECT unnest(range((SELECT len(embedding) FROM embeddings LIMIT 1))) AS d
+), planes AS (
+  SELECT b.b AS b, dims.d AS d,
+         CAST(('0x' || substr(md5('lshp-42-' || b.b || '-' || dims.d), 1, 8)) AS UBIGINT)
+           / 2147483648.0 - 1.0 AS coef
+  FROM (SELECT unnest(range(4)) AS b) b, dims
+), sgn AS (
+  SELECT e.vec_id, p.b,
+         sum(CAST(e.embedding[p.d + 1] AS DOUBLE) * p.coef) AS s
+  FROM embeddings e JOIN planes p ON p.d < len(e.embedding)
+  GROUP BY e.vec_id, p.b
+), buck AS (
+  SELECT vec_id,
+         CAST(sum(CASE WHEN s > 0 THEN 1 << b ELSE 0 END) AS BIGINT) AS bucket
+  FROM sgn GROUP BY vec_id
+)
+SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b
+FROM embeddings a
+JOIN buck ba ON ba.vec_id = a.vec_id
+JOIN buck bb ON bb.bucket = ba.bucket AND bb.vec_id > ba.vec_id
+JOIN embeddings b ON b.vec_id = bb.vec_id
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])) >= 0.40
+"""
 
 
 def q_minhash_neardup(sf_dir: str):
@@ -1673,12 +1805,14 @@ def queries() -> Dict[str, Callable]:
         "ecc_contexts": ecc_contexts,
         "ecc_contexts_all": ecc_contexts_all,
         "ecc_contexts_sentences": ecc_contexts_sentences,
+        "ecc_contexts_sentences_all": ecc_contexts_sentences_all,
         "ecc_context_stats": ecc_context_stats,
         "ecc_crawl_log": ecc_crawl_log,
         # sketches / ANN (md5-twinned, oracle-checked)
         "q_simhash": q_simhash,
         "q_minhash_bands": q_minhash_bands,
         "q_minhash_neardup_md5": q_minhash_neardup_md5,
+        "q_embedding_neardup_lsh_md5": q_embedding_neardup_lsh_md5,
         "q_knn_ivf": q_knn_ivf,
         # sketches / ANN / multimodal (rows-only; unit-tested)
         "q_minhash_neardup": q_minhash_neardup,
@@ -1723,9 +1857,11 @@ def oracle_sql() -> Dict[str, str]:
         "q_events_hourly": SQL_EVENTS_HOURLY,
         "q_sessions": SQL_SESSIONS,
         "q_minhash_neardup_md5": SQL_MINHASH_NEARDUP_MD5,
+        "q_embedding_neardup_lsh_md5": SQL_EMBEDDING_NEARDUP_LSH_MD5,
         # ecc stage-1 views, end-to-end in SQL over the derived inputs
         "ecc_pages": sql_ecc_pages(),
         "ecc_matches": sql_ecc_matches(),
         "ecc_mentions": sql_ecc_mentions(),
         "ecc_contexts_all": sql_ecc_contexts_all(),
+        "ecc_contexts_sentences_all": sql_ecc_contexts_sentences_all(),
     }

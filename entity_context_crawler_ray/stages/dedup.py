@@ -449,6 +449,7 @@ def embedding_neardup_lsh(
     threshold: float = 0.95,
     n_bits: int = 8,
     seed: int = 42,
+    plane_hash: str = "blake2b",
 ) -> ray.data.Dataset:
     """Scale-path near-dup: sign-LSH bucket each vector (map_batches),
     co-locate buckets with one groupby, compute exact pairwise cosine
@@ -466,7 +467,7 @@ def embedding_neardup_lsh(
     def assign(batch: pa.Table) -> pa.Table:
         mat = np.stack(batch["embedding"].to_pylist()).astype(np.float64)
         if "lsh" not in state:
-            state["lsh"] = SignLSH(mat.shape[1], n_bits, seed)
+            state["lsh"] = SignLSH(mat.shape[1], n_bits, seed, plane_hash)
         buckets = state["lsh"].bucket(_normalize(mat))
         return pa.table(
             {
