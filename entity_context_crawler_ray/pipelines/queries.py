@@ -1185,6 +1185,34 @@ ctx AS (
     )
 
 
+def ecc_context_stats_all(sf_dir: str):
+    """Per-entity context counts over the UNSAMPLED contexts (the
+    oracle-able variant of the CSV sidecar; see ecc_contexts_all)."""
+    out = context_stats(ecc_contexts_all(sf_dir))
+
+    def cast_n(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "entity_label": t["entity_label"],
+                "n_contexts": pc.cast(t["n_contexts"], pa.int64()),
+            }
+        )
+
+    return out.map_batches(cast_n, batch_format="pyarrow")
+
+
+def sql_ecc_context_stats_all() -> str:
+    return (
+        "WITH contexts_all AS (\n"
+        + sql_ecc_contexts_all()
+        + """
+)
+SELECT entity_label, CAST(count(*) AS BIGINT) AS n_contexts
+FROM contexts_all GROUP BY entity_label
+"""
+    )
+
+
 def ecc_crawl_log(sf_dir: str):
     """Frontier crawl over the doc store; returns the deterministic
     fetch log (round, rank, url, priority, depth)."""
@@ -1807,6 +1835,7 @@ def queries() -> Dict[str, Callable]:
         "ecc_contexts_sentences": ecc_contexts_sentences,
         "ecc_contexts_sentences_all": ecc_contexts_sentences_all,
         "ecc_context_stats": ecc_context_stats,
+        "ecc_context_stats_all": ecc_context_stats_all,
         "ecc_crawl_log": ecc_crawl_log,
         # sketches / ANN (md5-twinned, oracle-checked)
         "q_simhash": q_simhash,
@@ -1864,4 +1893,5 @@ def oracle_sql() -> Dict[str, str]:
         "ecc_mentions": sql_ecc_mentions(),
         "ecc_contexts_all": sql_ecc_contexts_all(),
         "ecc_contexts_sentences_all": sql_ecc_contexts_sentences_all(),
+        "ecc_context_stats_all": sql_ecc_context_stats_all(),
     }

@@ -481,3 +481,39 @@ def test_spacy_tokenizer_plug():
     assert [t[0] for t in tok("Alpha Beta today.")] == [
         t[0] for t in tokenize("Alpha Beta today.")
     ]
+
+
+def test_combined_builder_rollback_on_poison_doc():
+    """A doc that raises mid-extraction must roll back its partial
+    column appends and become an error row — neighbours unaffected and
+    offsets consistent (the transactional guard in CombinedBuilder)."""
+    from entity_context_crawler_ray.stages.match import (
+        CombinedBuilder,
+        SpanColumns,
+    )
+
+    good = [
+        {"kind": "link", "text": "Alpha", "media_ref": "P1", "offset": 0},
+        {"kind": "text", "text": "This long sentence mentions Alpha prominently enough to survive.", "media_ref": "", "offset": 1},
+    ]
+    # a None text span raises TypeError in the page-text join, after
+    # the link bookkeeping already touched the builder's inputs
+    poison = [
+        {"kind": "link", "text": "Alpha", "media_ref": "P1", "offset": 0},
+        {"kind": "text", "text": None, "media_ref": "", "offset": 1},
+    ]
+    spans = SpanColumns.from_dicts_list([good, poison, good])
+    t2e = {"P1": "E1"}
+    e2l = {"E1": "Alpha"}
+    b = CombinedBuilder()
+    assert b.add_doc("d0", spans, 0, t2e, e2l) is True
+    assert b.add_doc("d1", spans, 1, t2e, e2l) is False
+    assert b.add_doc("d2", spans, 2, t2e, e2l) is True
+    t = b.table()
+    rows = t.to_pylist()
+    assert [r["title"] for r in rows] == ["d0", "d1", "d2"]
+    assert rows[1]["error"] != "" and rows[1]["matches"] == [] and rows[1]["mentions"] == []
+    # the two good docs are identical and fully populated
+    for k in ("clean_text", "match_count", "matches", "mentions"):
+        assert rows[0][k] == rows[2][k]
+    assert rows[0]["match_count"] >= 1
