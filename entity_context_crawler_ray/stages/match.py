@@ -235,10 +235,16 @@ class CombinedBuilder:
 
         # phrase-match mentions over the cleaned text; per-page matcher
         # is cheap, built per doc like the reference
-        # (cmd/build_matches_db.py:273-274)
+        # (cmd/build_matches_db.py:273-274).  Pages with no unique
+        # mentions skip tokenization entirely (tokenize is ~40% of
+        # extraction and an empty matcher can never fire).
         matcher = PhraseMatcher(mention_to_eid.keys())
-        toks = tok(clean_text)
-        token_spans = matcher(toks)
+        if matcher:
+            toks = tok(clean_text)
+            token_spans = matcher(toks)
+        else:
+            toks = []
+            token_spans = []
 
         # pattern token-tuple -> eid: lookup via tokens; the mention
         # column records the ACTUAL document span text
