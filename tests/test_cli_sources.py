@@ -282,3 +282,34 @@ def test_pipeline_registry_and_cli(tmp_path):
     assert len(ray.data.read_parquet(outdir).take(3)) == 3
     assert main(["pipeline", "--list-steps"]) == 0
     assert "sample" in list_steps()
+
+
+def test_driver_entry_contract():
+    """The driver surface: entry() runs the flagship pipeline on
+    sf0.001 and returns rows with a stable schema; every oracle_sql()
+    key has a queries() twin."""
+    import importlib.util
+    import sys
+
+    spec = importlib.util.spec_from_file_location(
+        "__ray_entry__", "/root/repo/__ray_entry__.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["__ray_entry__"] = mod
+    spec.loader.exec_module(mod)
+
+    qs, orc = mod.queries(), mod.oracle_sql()
+    assert set(orc) <= set(qs)
+    assert len(orc) >= 39  # oracle coverage floor (round 3: 39)
+
+    res = mod.entry()
+    df = res.to_pandas() if hasattr(res, "to_pandas") else res
+    assert len(df) > 0
+    assert list(df.columns) == [
+        "entity",
+        "entity_label",
+        "mention",
+        "page_title",
+        "context",
+        "masked_context",
+    ]
