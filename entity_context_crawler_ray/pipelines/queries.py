@@ -1250,6 +1250,83 @@ def ecc_crawl_log(sf_dir: str):
     return tbl.select(["round", "rank", "url", "priority", "depth"])
 
 
+def ecc_crawl_log_unbounded(sf_dir: str):
+    """The crawl's ORDERING oracle: with unlimited budgets the
+    politeness state never binds and a depth≤1 crawl is exactly two
+    deterministic rounds — round 0 fetches the seeds in (priority
+    desc, url) order, round 1 fetches the unseen out-link targets
+    ranked by in-degree + entity bonus.  That closed form is
+    SQL-expressible, so the fetch log itself gets a DuckDB twin (the
+    budget-bound general case stays simulator-verified —
+    tests/test_crawl.py)."""
+    import glob
+
+    from .crawl import CrawlConfig, crawl
+
+    tag = stable_hash64("qtag-unb", sf_dir, docsrc.DERIVATION_VERSION) % (1 << 32)
+    base = f"/tmp/ecc_q_crawl_unb_{tag}"
+    store = f"{base}/docstore"
+    if not os.path.isdir(store):
+        from ..sources.doc_store import write_doc_store
+
+        write_doc_store(docsrc.read_docs(sf_dir), store, num_partitions=16)
+    import shutil
+
+    out = f"{base}/out"
+    shutil.rmtree(out, ignore_errors=True)
+    ents = docsrc.entity_catalog(sf_dir)
+    ref = ray.put(docsrc.entities_index(ents))
+    cfg = CrawlConfig(
+        max_depth=1,
+        num_bloom_shards=4,
+        num_politeness_shards=2,
+        doc_store_partitions=16,
+        max_rounds=5,
+    )
+    crawl(store, docsrc.seed_table(sf_dir), ref, out, cfg)
+    files = sorted(glob.glob(f"{out}/fetch_log/*.parquet"))
+    tbl = pa.concat_tables([pq.read_table(f) for f in files])
+    return tbl.select(["round", "rank", "url", "priority", "depth"])
+
+
+def sql_ecc_crawl_log_unbounded() -> str:
+    return _ecc_oracle_prefix() + """
+, seeds AS (
+  SELECT DISTINCT page_title AS url FROM ents WHERE page_title <> ''
+),
+r0 AS (
+  SELECT CAST(0 AS INTEGER) AS round,
+         CAST(row_number() OVER (ORDER BY url) - 1 AS BIGINT) AS rank,
+         url, CAST(1.0 AS DOUBLE) AS priority, CAST(0 AS INTEGER) AS depth
+  FROM seeds
+),
+links0 AS (
+  -- out-link spans of the round-0 pages (in-degree counts every span)
+  SELECT s.media_ref AS target
+  FROM spans s JOIN seeds f ON s.doc_id = f.url
+  WHERE s.kind = 'link' AND s.media_ref <> ''
+),
+cand1 AS (
+  SELECT l.target AS url,
+         count(*)
+           + CASE WHEN max(CASE WHEN t.title IS NOT NULL THEN 1 ELSE 0 END) = 1
+                  THEN 10.0 ELSE 0.0 END AS priority
+  FROM links0 l LEFT JOIN title2eid t ON t.title = l.target
+  GROUP BY l.target
+),
+r1 AS (
+  SELECT CAST(1 AS INTEGER) AS round,
+         CAST(row_number() OVER (ORDER BY priority DESC, url) - 1 AS BIGINT) AS rank,
+         url, CAST(priority AS DOUBLE) AS priority, CAST(1 AS INTEGER) AS depth
+  FROM cand1
+  WHERE url NOT IN (SELECT url FROM seeds)
+)
+SELECT * FROM r0
+UNION ALL
+SELECT * FROM r1
+"""
+
+
 # ---------------------------------------------------------------------------
 # sketch / multimodal / ANN extras (rows-only checks; unit-tested)
 
@@ -1837,6 +1914,7 @@ def queries() -> Dict[str, Callable]:
         "ecc_context_stats": ecc_context_stats,
         "ecc_context_stats_all": ecc_context_stats_all,
         "ecc_crawl_log": ecc_crawl_log,
+        "ecc_crawl_log_unbounded": ecc_crawl_log_unbounded,
         # sketches / ANN (md5-twinned, oracle-checked)
         "q_simhash": q_simhash,
         "q_minhash_bands": q_minhash_bands,
@@ -1894,4 +1972,5 @@ def oracle_sql() -> Dict[str, str]:
         "ecc_contexts_all": sql_ecc_contexts_all(),
         "ecc_contexts_sentences_all": sql_ecc_contexts_sentences_all(),
         "ecc_context_stats_all": sql_ecc_context_stats_all(),
+        "ecc_crawl_log_unbounded": sql_ecc_crawl_log_unbounded(),
     }
