@@ -1864,6 +1864,37 @@ def q_media_frames(sf_dir: str):
     return media.sample_frames(media.extract_media_spans(docs_ds), every_ms=1000)
 
 
+def q_media_frames_md5(sf_dir: str):
+    """Frame sampling with md5-derived stream durations — the
+    oracle-checkable twin of q_media_frames (DuckDB reproduces the
+    duration probe and the sampling arithmetic exactly)."""
+    docs_ds = docsrc.read_docs(sf_dir)
+    return media.sample_frames(
+        media.extract_media_spans(docs_ds), every_ms=1000, duration_hash="md5"
+    )
+
+
+def sql_q_media_frames_md5() -> str:
+    return _ecc_oracle_prefix() + """
+, m AS (
+  SELECT doc_id, media_ref,
+         500 + CAST(('0x' || substr(md5('dur' || media_ref), 1, 8)) AS UBIGINT) % 10000
+           AS duration_ms
+  FROM spans WHERE kind = 'media'
+),
+f AS (
+  SELECT m.doc_id, m.media_ref, CAST(n.k AS BIGINT) * 1000 AS ts_ms
+  FROM m
+  JOIN (SELECT unnest(range(0, 11)) AS k) n
+    ON CAST(n.k AS BIGINT) * 1000 < m.duration_ms
+)
+SELECT doc_id, media_ref,
+       CAST(ts_ms * 25 // 1000 AS INTEGER) AS frame_idx,
+       CAST(ts_ms AS BIGINT) AS ts_ms
+FROM f
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -1927,6 +1958,7 @@ def queries() -> Dict[str, Callable]:
         "q_media_decode": q_media_decode,
         "q_media_embed": q_media_embed,
         "q_media_frames": q_media_frames,
+        "q_media_frames_md5": q_media_frames_md5,
     }
 
 
@@ -1973,4 +2005,5 @@ def oracle_sql() -> Dict[str, str]:
         "ecc_contexts_sentences_all": sql_ecc_contexts_sentences_all(),
         "ecc_context_stats_all": sql_ecc_context_stats_all(),
         "ecc_crawl_log_unbounded": sql_ecc_crawl_log_unbounded(),
+        "q_media_frames_md5": sql_q_media_frames_md5(),
     }

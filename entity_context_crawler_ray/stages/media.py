@@ -423,19 +423,32 @@ FRAME_SCHEMA = pa.schema(
 
 
 def sample_frames(
-    media_meta: ray.data.Dataset, every_ms: int = 1000, fps: int = 25
+    media_meta: ray.data.Dataset,
+    every_ms: int = 1000,
+    fps: int = 25,
+    duration_hash: str = "blake2b",
 ) -> ray.data.Dataset:
     """Video-style frame sampling plumbing: each media ref's stream
     length is probed (fake: hash-derived duration; real: container
     header read — no full decode), then one row per sampled frame is
     emitted at ``every_ms`` intervals.  Bounded fan-out explode: the
     output row count is duration/every_ms per ref, never a per-frame
-    explosion of the whole stream."""
+    explosion of the whole stream.  ``duration_hash='md5'`` derives
+    the probed duration from md5 so a DuckDB oracle reproduces the
+    sampling arithmetic exactly."""
+    import hashlib as _hashlib
+
+    def _duration(r: str) -> int:
+        if duration_hash == "md5":
+            h = int(_hashlib.md5(("dur" + r).encode()).hexdigest()[:8], 16)
+        else:
+            h = stable_hash64("media-duration", r)
+        return 500 + h % 10_000
 
     def explode(t: pa.Table) -> pa.Table:
         doc_ids, refs, idxs, tss = [], [], [], []
         for d, r in zip(t["doc_id"].to_pylist(), t["media_ref"].to_pylist()):
-            duration_ms = 500 + stable_hash64("media-duration", r) % 10_000
+            duration_ms = _duration(r)
             for k, ts in enumerate(range(0, duration_ms, every_ms)):
                 doc_ids.append(d)
                 refs.append(r)
