@@ -1838,6 +1838,31 @@ def q_media_decode(sf_dir: str):
     return decoded.drop_columns(["payload"])
 
 
+def q_media_decode_md5(sf_dir: str):
+    """REAL bitstream decode with md5-seeded synthetic geometry — the
+    oracle predicts the (width, height, channels, n_bytes) the real
+    PPM/BMP parsers must recover from the encoded bytes."""
+    docs_ds = docsrc.read_docs(sf_dir)
+    decoded = media.decode_media(docs_ds, seed_hash="md5")
+    return decoded.drop_columns(["payload"])
+
+
+def sql_q_media_decode_md5() -> str:
+    return _ecc_oracle_prefix() + """
+, m AS (
+  SELECT doc_id, media_ref,
+         CAST(('0x' || substr(md5('media-raw' || media_ref), 1, 16)) AS UBIGINT) AS h
+  FROM spans WHERE kind = 'media'
+)
+SELECT doc_id, media_ref,
+       CAST(8 + h % 25 AS INTEGER) AS width,
+       CAST(8 + (h // 256) % 25 AS INTEGER) AS height,
+       CAST(3 AS INTEGER) AS channels,
+       CAST((8 + h % 25) * (8 + (h // 256) % 25) * 3 AS BIGINT) AS n_bytes
+FROM m
+"""
+
+
 def q_media_embed(sf_dir: str):
     """decode (real bitstreams) -> resize (real nearest-neighbor) ->
     actor-pool batched embedding (deterministic projection model)."""
@@ -1959,6 +1984,7 @@ def queries() -> Dict[str, Callable]:
         "q_media_embed": q_media_embed,
         "q_media_frames": q_media_frames,
         "q_media_frames_md5": q_media_frames_md5,
+        "q_media_decode_md5": q_media_decode_md5,
     }
 
 
@@ -2006,4 +2032,5 @@ def oracle_sql() -> Dict[str, str]:
         "ecc_context_stats_all": sql_ecc_context_stats_all(),
         "ecc_crawl_log_unbounded": sql_ecc_crawl_log_unbounded(),
         "q_media_frames_md5": sql_q_media_frames_md5(),
+        "q_media_decode_md5": sql_q_media_decode_md5(),
     }

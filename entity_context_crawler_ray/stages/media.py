@@ -159,12 +159,21 @@ def encode_bmp(pixels: np.ndarray) -> bytes:
     return header + body
 
 
-def synthesize_image_bytes(media_ref: str) -> bytes:
+def synthesize_image_bytes(media_ref: str, seed_hash: str = "blake2b") -> bytes:
     """Deterministic fetch stand-in for the sandbox: a hash-seeded
     gradient image, REALLY encoded (alternating PPM / BMP by ref hash)
     so the decode stage exercises the true bitstream parsers.  At
-    deployment the fetch stage supplies raw bytes instead."""
-    hseed = stable_hash64("media-raw", media_ref)
+    deployment the fetch stage supplies raw bytes instead.
+    ``seed_hash='md5'`` derives the geometry seed from md5 so a DuckDB
+    oracle can predict the dims the real decoder must recover."""
+    if seed_hash == "md5":
+        import hashlib as _hashlib
+
+        hseed = int(
+            _hashlib.md5(("media-raw" + media_ref).encode()).hexdigest()[:16], 16
+        )
+    else:
+        hseed = stable_hash64("media-raw", media_ref)
     w = 8 + hseed % 25
     h = 8 + (hseed >> 8) % 25
     yy, xx = np.mgrid[0:h, 0:w]
@@ -274,13 +283,18 @@ class MediaDecoder:
         )
 
 
-def attach_raw_media(media_meta: ray.data.Dataset) -> ray.data.Dataset:
+def attach_raw_media(
+    media_meta: ray.data.Dataset, seed_hash: str = "blake2b"
+) -> ray.data.Dataset:
     """Sandbox fetch stand-in: attach a ``raw`` column of REAL encoded
     PPM/BMP bytes, deterministically derived per ref.  At deployment
     this stage is the media fetch (byte-range read / blob get)."""
 
     def attach(t: pa.Table) -> pa.Table:
-        raws = [synthesize_image_bytes(r) for r in t["media_ref"].to_pylist()]
+        raws = [
+            synthesize_image_bytes(r, seed_hash)
+            for r in t["media_ref"].to_pylist()
+        ]
         return t.append_column("raw", pa.array(raws, pa.binary()))
 
     return media_meta.map_batches(attach, batch_format="pyarrow")
@@ -291,12 +305,13 @@ def decode_media(
     fake: bool = False,
     concurrency: int | tuple = (1, 4),
     batch_size: int = 32,
+    seed_hash: str = "blake2b",
 ) -> ray.data.Dataset:
     """Full media path: project media spans -> (fetch raw bytes) ->
     actor-pool decode.  Real bitstream decode by default."""
     media = extract_media_spans(docs)
     if not fake:
-        media = attach_raw_media(media)
+        media = attach_raw_media(media, seed_hash)
     return media.map_batches(
         MediaDecoder,
         fn_constructor_kwargs={"fake": fake},
