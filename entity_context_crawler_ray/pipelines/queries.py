@@ -669,10 +669,20 @@ from .build_matches import (
 )
 
 
+# ten ecc_* queries share the same stage-1 output; materialize it once
+# per sf per process (pinned blocks in the object store — sf-scale) so
+# the driver's correctness gate doesn't re-run stage 1 per query
+_COMBINED_CACHE: Dict[str, tuple] = {}
+
+
 def _combined(sf_dir: str):
-    docs_ds = docsrc.read_docs(sf_dir)
-    ents = docsrc.entity_catalog(sf_dir)
-    return build_matches(docs_ds, ents).materialize(), ents
+    hit = _COMBINED_CACHE.get(sf_dir)
+    if hit is None:
+        docs_ds = docsrc.read_docs(sf_dir)
+        ents = docsrc.entity_catalog(sf_dir)
+        hit = (build_matches(docs_ds, ents).materialize(), ents)
+        _COMBINED_CACHE[sf_dir] = hit
+    return hit
 
 
 def ecc_pages(sf_dir: str):
