@@ -23,12 +23,21 @@ from .text import Token, token_texts
 
 
 class PhraseMatcher:
-    """Build once per entity / per page; call per tokenized text."""
+    """Build once per entity / per page; call per tokenized text.
 
-    def __init__(self, patterns: Iterable[str]):
+    ``tokenizer`` (optional, ``tokenize``-shaped: text -> [(text,
+    start, end), ...]) overrides the spec tokenizer for the PATTERNS —
+    it must be the same tokenizer the caller applies to documents, or
+    token sequences can never align (the spaCy escape hatch passes its
+    pipeline here)."""
+
+    def __init__(self, patterns: Iterable[str], tokenizer=None):
         self._by_len: Dict[int, Set[Tuple[str, ...]]] = {}
         for pattern in patterns:
-            toks = tuple(token_texts(pattern))
+            if tokenizer is None:
+                toks = tuple(token_texts(pattern))
+            else:
+                toks = tuple(t[0] for t in tokenizer(pattern))
             if toks:
                 self._by_len.setdefault(len(toks), set()).add(toks)
 

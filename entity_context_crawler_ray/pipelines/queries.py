@@ -1416,11 +1416,16 @@ def q_minhash_neardup_md5(sf_dir: str):
             return _pd.DataFrame({"a": _pd.Series(dtype="int64"), "b": _pd.Series(dtype="int64")})
         return _pd.DataFrame(rows, columns=["a", "b"])
 
+    from ray.data.aggregate import Count
+
     cand = (
         bands.groupby(["band_id", "band_hash"])
         .map_groups(pairs_of, batch_format="pandas")
+        # distinct pairs via ONE vectorized hash aggregate — never a
+        # per-pair Python group call
         .groupby(["a", "b"])
-        .map_groups(lambda g: g.head(1), batch_format="pandas")
+        .aggregate(Count(alias_name="__n"))
+        .drop_columns(["__n"])
     )
     return dedup.verify_jaccard_pairs(cand, ds, threshold=0.5)
 
@@ -1998,7 +2003,21 @@ def queries() -> Dict[str, Callable]:
     }
 
 
+_ORACLE_SQL_MEMO: Dict[str, str] = {}
+
+
 def oracle_sql() -> Dict[str, str]:
+    """Oracle registry.  Building the ecc entries derives + writes the
+    oracle input parquet once (deliberate: generation at string-build
+    time is safe regardless of driver execution order); the built dict
+    is memoized so repeated calls are free."""
+    if _ORACLE_SQL_MEMO:
+        return dict(_ORACLE_SQL_MEMO)
+    _ORACLE_SQL_MEMO.update(_build_oracle_sql())
+    return dict(_ORACLE_SQL_MEMO)
+
+
+def _build_oracle_sql() -> Dict[str, str]:
     return {
         "q_pricing_summary": SQL_PRICING_SUMMARY,
         "q_filter_project": SQL_FILTER_PROJECT,

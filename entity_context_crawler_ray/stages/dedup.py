@@ -666,14 +666,25 @@ def connected_components(
             break
         prev_sum = s
     if not converged:
-        # the label sum was still decreasing on the last iteration: a
-        # component with diameter > max_iters would silently come back
-        # split — fail loudly instead of returning wrong clusters
-        raise RuntimeError(
-            f"connected_components: min-label propagation did not converge "
-            f"within max_iters={max_iters} (a component's diameter exceeds "
-            f"the iteration budget); raise max_iters"
+        # the last allowed iteration still changed the sum — it may
+        # have BEEN the fixpoint step, so run ONE confirming pass
+        # before deciding (a converged-on-the-last-iteration graph
+        # must not raise); only a sum still decreasing after that
+        # means a component's diameter exceeds the budget
+        prop = (
+            hash_join_bucketed(both, labels, on="v", right_on="u", suffix="_r")
+            .select_columns(["u", "label"])
+            .map_batches(lambda t: t, batch_format="pyarrow")
         )
+        confirm = (
+            labels.union(prop).groupby("u").aggregate(Min("label", alias_name="label"))
+        ).materialize()
+        if confirm.sum("label") != prev_sum:
+            raise RuntimeError(
+                f"connected_components: min-label propagation did not "
+                f"converge within max_iters={max_iters} (a component's "
+                f"diameter exceeds the iteration budget); raise max_iters"
+            )
     return labels.map_batches(
         lambda t: pa.table({id_col: t["u"], "component": t["label"]}),
         batch_format="pyarrow",

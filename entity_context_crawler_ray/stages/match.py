@@ -238,7 +238,9 @@ class CombinedBuilder:
         # (cmd/build_matches_db.py:273-274).  Pages with no unique
         # mentions skip tokenization entirely (tokenize is ~40% of
         # extraction and an empty matcher can never fire).
-        matcher = PhraseMatcher(mention_to_eid.keys())
+        matcher = PhraseMatcher(
+            mention_to_eid.keys(), None if tok is tokenize else tok
+        )
         if matcher:
             toks = tok(clean_text)
             token_spans = matcher(toks)

@@ -118,7 +118,10 @@ def load_checkpoint(
     if fdir is not None:
         if not os.path.isabs(fdir):
             fdir = os.path.join(out_dir, fdir) if out_dir else os.path.abspath(fdir)
-        if not os.path.isdir(fdir):
+        # a COMPLETED crawl's final checkpoint records frontier_rows=0
+        # with a next-round dir that was never created (nothing was
+        # deferred) — resume is then a no-op, not an error
+        if not os.path.isdir(fdir) and manifest.get("frontier_rows"):
             raise FileNotFoundError(
                 f"checkpoint round={round_id} references frontier dir "
                 f"{fdir!r} which does not exist — the crawl loop deletes "

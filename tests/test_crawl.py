@@ -742,3 +742,30 @@ def test_xml_backward_scan_finds_closing_tag(tmp_path):
     ranges = _page_split_offsets(str(p), 4)
     assert ranges[0][0] == body.find(b"<page")
     assert ranges[-1][1] == body.rfind(b"</mediawiki")
+
+
+def test_resume_after_completed_bucketed_crawl_is_noop(store_and_inputs, tmp_path):
+    """The FINAL checkpoint of a bucketed crawl references a next-round
+    frontier dir that was never created (nothing deferred); resuming
+    from it must be a no-op, not a FileNotFoundError."""
+    store, ref, docs_local, idx, seeds = store_and_inputs
+    cfg = CrawlConfig(
+        max_depth=1,
+        round_budget=40,
+        capacity=5,
+        refill=3,
+        num_bloom_shards=2,
+        num_politeness_shards=2,
+        doc_store_partitions=8,
+        max_rounds=40,
+        driver_threshold=0,
+    )
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    m1 = crawl(store, seeds, ref, out, cfg, ckpt_dir=ckpt)
+    assert m1["urls_fetched"] > 0
+    log1 = _read_fetch_log(out)
+    # resume from the completed state: fetches nothing, changes nothing
+    m2 = crawl(store, seeds, ref, out, cfg, ckpt_dir=ckpt, resume=True)
+    assert m2["urls_fetched"] == 0
+    pd.testing.assert_frame_equal(_read_fetch_log(out), log1)

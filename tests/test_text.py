@@ -113,3 +113,28 @@ def test_phrase_matcher_overlaps_and_case():
     assert m(toks) == [(0, 2), (1, 3), (3, 4)]  # case-sensitive: no 'A'
     assert PhraseMatcher([])(toks) == []
     assert token_texts("don't stop") == ["don", "'", "t", "stop"]
+
+
+def test_phrase_matcher_custom_tokenizer_alignment():
+    """PhraseMatcher(patterns, tokenizer) must tokenize patterns with
+    the SAME tokenizer the caller applies to documents — otherwise
+    token sequences can never align (the spaCy escape-hatch bug)."""
+    from entity_context_crawler_ray.functions.matcher import PhraseMatcher
+
+    # a toy 'spacy-like' tokenizer that keeps apostrophes inside words
+    # ("don't" is ONE token; the spec splits it into don + ' + t)
+    def tok(text):
+        out = []
+        for m in __import__("re").finditer(r"[A-Za-z0-9_']+|[^A-Za-z0-9_'\s]", text):
+            s, e = m.span()
+            out.append((text[s:e], s, e))
+        return out
+
+    doc = tok("I don't like it")
+    assert [t[0] for t in doc] == ["I", "don't", "like", "it"]
+    # aligned: pattern tokenized with the SAME tokenizer -> 1 token,
+    # matches; spec-tokenized pattern (3 tokens) can never align
+    m_aligned = PhraseMatcher(["don't"], tok)
+    assert m_aligned(doc) == [(1, 2)]
+    m_spec = PhraseMatcher(["don't"])
+    assert m_spec(doc) == []
