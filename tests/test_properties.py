@@ -147,3 +147,29 @@ def test_mask_preserves_length_and_nonspan_chars(words):
     if masked is not None:
         assert len(masked) == len(ctx)
         assert all(a == b for a, b in zip(ctx, masked) if b != "#")
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=13),
+    h=st.integers(min_value=1, max_value=9),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_image_codec_roundtrip_property(w, h, seed):
+    """encode->decode is the identity for every geometry — including
+    BMP rows whose 4-byte stride padding is zero (w*3 % 4 == 0) and
+    1-pixel edges — for RGB PPM, gray PGM, and 24-bpp BMP."""
+    import numpy as np
+
+    from entity_context_crawler_ray.stages import media
+
+    rng = np.random.RandomState(seed)
+    rgb = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+    for blob, c in [
+        (media.encode_ppm(rgb), 3),
+        (media.encode_bmp(rgb), 3),
+        (media.encode_ppm(rgb[:, :, :1]), 1),
+    ]:
+        dw, dh, dc, pix = media.decode_image_bytes(blob)
+        assert (dw, dh, dc) == (w, h, c)
+        np.testing.assert_array_equal(pix, rgb[:, :, :c])
