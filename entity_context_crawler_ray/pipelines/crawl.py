@@ -1173,6 +1173,16 @@ def crawl(
     metrics["urls_per_sec"] = round(
         metrics["urls_fetched"] / max(metrics["wall_sec"], 1e-9), 2
     )
+    # persist the run metrics beside the output (atomic rename): the
+    # fetch/extract counters travel with the crawl artifact, not just
+    # the caller's stdout (north_rule: lineage + metrics)
+    import json as _json
+
+    # underscore prefix: dataset readers skip it (like _lineage.json)
+    tmp = os.path.join(out_dir, "_metrics.json.tmp")
+    with open(tmp, "w") as fh:
+        _json.dump(metrics, fh, indent=1)
+    os.rename(tmp, os.path.join(out_dir, "_metrics.json"))
     for h in bloom + politeness:
         ray.kill(h)
     return metrics
