@@ -46,11 +46,10 @@ Token = Tuple[str, int, int]  # (text, start_char, end_char-exclusive)
 
 def tokenize(text: str) -> List[Token]:
     """Tokenize ``text`` into (text, start, end) triples, in order."""
-    # hot path (profiled at ~40% of extraction): one span() call per
-    # match, list-comp construction (no per-token append dispatch)
-    return [
-        (text[s:e], s, e) for s, e in (m.span() for m in _TOKEN_RE.finditer(text))
-    ]
+    # hot path (profiled at ~40% of extraction): two flat list-comps
+    # beat a fused comp-over-genexpr (no generator frame per token)
+    spans = [m.span() for m in _TOKEN_RE.finditer(text)]
+    return [(text[s:e], s, e) for s, e in spans]
 
 
 def token_texts(text: str) -> List[str]:
