@@ -844,6 +844,10 @@ def crawl(
 
         bucketed = frontier_rows > config.driver_threshold
         next_dir = _frontier_round_dir(out_dir, round_id + 1)
+        # next_dir receives writes in BOTH regimes (schedule deferrals
+        # when bucketed; fetch-task link partials always) — clear any
+        # stale files from an interrupted earlier attempt at this round
+        shutil.rmtree(next_dir, ignore_errors=True)
 
         # scheduling: dedup -> probe -> admission -> sort + budget split
         # (driver fast path for small rounds, bucketed otherwise), then
@@ -865,7 +869,6 @@ def crawl(
                     num_shards,
                 )
                 frontier_tbl = None
-            shutil.rmtree(next_dir, ignore_errors=True)
             fetch_tbl, n_deferred, n_denied, n_admitted = _schedule_round_bucketed(
                 frontier_dir, next_dir, bloom, politeness, config, round_id, num_buckets
             )
@@ -919,17 +922,21 @@ def crawl(
             # ONE fused execution per round: fetch + extract + write the
             # page parquet from inside the task (deterministic file name
             # per batch -> a retried task overwrites its own file, never
-            # duplicates) + per-batch link partial aggregates.  In the
-            # bucketed regime the partials are written straight into the
-            # next round frontier dir (partition-on-write: the link
-            # merge happens inside next round per-bucket dedup, no
-            # groupby execution, nothing returned to the driver but two
-            # counters); in the driver regime they come back as the
-            # task return value for the driver merge.
+            # duplicates) + per-batch link partial aggregates.  The
+            # partials are written straight into the next round frontier
+            # dir in BOTH regimes (partition-on-write: the link merge
+            # happens per-bucket at the next read, no groupby execution,
+            # nothing returned to the driver but counters).  The driver
+            # regime used to merge them driver-side, which concatenated
+            # frontier_rows × out-degree rows on the driver — the one
+            # materialization that scaled with data shape rather than
+            # config (round-3 VERDICT finding #1); now the driver only
+            # reads partials back when their row count is known to fit
+            # under driver_threshold.
             round_dir = os.path.join(out_dir, f"round={round_id}")
             os.makedirs(round_dir, exist_ok=True)
             max_depth = config.max_depth
-            links_dir = next_dir if bucketed else None
+            links_dir = next_dir
 
             def fetch_extract_fused(batch: pa.Table) -> pa.Table:
                 out = FetchExtract(
@@ -974,52 +981,30 @@ def crawl(
                     pa.array([host_of(u) for u in agg["target"].to_pylist()], pa.string()),
                 )
                 nf = pc.sum(pc.cast(out["fetched"], pa.int64())).as_py() or 0
-                if links_dir is not None:
-                    cand = pa.table(
-                        {
-                            "url": agg["target"],
-                            "host": agg["host"],
-                            "priority": pa.array([0.0] * agg.num_rows, pa.float64()),
-                            "depth": pc.cast(
-                                pc.add(agg["src_depth_min"], pa.scalar(1, pa.int32())),
-                                pa.int32(),
-                            ),
-                            "partial_count": pc.cast(agg["target_count"], pa.int64()),
-                            "is_entity": pc.cast(agg["is_entity_max"], pa.int8()),
-                        }
-                    )
-                    n_rows = _write_bucketed(
-                        cand, links_dir, f"links-{fname}", num_buckets, num_shards
-                    )
-                    return pa.table(
-                        {
-                            "n_fetched": pa.array([nf], pa.int64()),
-                            "n_link_rows": pa.array([n_rows], pa.int64()),
-                            "fname": pa.array([fname], pa.string()),
-                            "n_rows": pa.array([pages.num_rows], pa.int64()),
-                        }
-                    )
-                stats = pa.table(
+                cand = pa.table(
                     {
-                        "target": pa.array([None], pa.string()),
-                        "target_count": pa.array([nf], pa.int64()),
-                        "is_entity_max": pa.array([0], pa.int8()),
-                        "src_depth_min": pa.array([0], pa.int32()),
-                        "host": pa.array([""], pa.string()),
+                        "url": agg["target"],
+                        "host": agg["host"],
+                        "priority": pa.array([0.0] * agg.num_rows, pa.float64()),
+                        "depth": pc.cast(
+                            pc.add(agg["src_depth_min"], pa.scalar(1, pa.int32())),
+                            pa.int32(),
+                        ),
+                        "partial_count": pc.cast(agg["target_count"], pa.int64()),
+                        "is_entity": pc.cast(agg["is_entity_max"], pa.int8()),
+                    }
+                )
+                n_rows = _write_bucketed(
+                    cand, links_dir, f"links-{fname}", num_buckets, num_shards
+                )
+                return pa.table(
+                    {
+                        "n_fetched": pa.array([nf], pa.int64()),
+                        "n_link_rows": pa.array([n_rows], pa.int64()),
                         "fname": pa.array([fname], pa.string()),
                         "n_rows": pa.array([pages.num_rows], pa.int64()),
                     }
                 )
-                agg = agg.append_column(
-                    "fname", pa.nulls(agg.num_rows, pa.string())
-                ).append_column("n_rows", pa.nulls(agg.num_rows, pa.int64()))
-                agg = agg.select(
-                    [
-                        "target", "target_count", "is_entity_max",
-                        "src_depth_min", "host", "fname", "n_rows",
-                    ]
-                ).cast(stats.schema)
-                return pa.concat_tables([agg, stats], promote_options="default")
 
             fused_parts = ray.get(
                 fetch_in.map_batches(
@@ -1032,63 +1017,12 @@ def crawl(
             fused = pa.concat_tables(fused_parts, promote_options="default")
             _mark("fetch_extract")
 
-            if bucketed:
-                n_fetched = int(pc.sum(fused["n_fetched"]).as_py() or 0)
-                n_links_rows = int(pc.sum(fused["n_link_rows"]).as_py() or 0)
-                n_missing = fetch_tbl.num_rows - n_fetched
-                new_frontier = None
-                lineage_rows = list(
-                    zip(fused["fname"].to_pylist(), fused["n_rows"].to_pylist())
-                )
-            else:
-                stats_mask = pc.is_null(fused["target"])
-                stats_rows = fused.filter(stats_mask)
-                n_fetched = int(pc.sum(stats_rows["target_count"]).as_py() or 0)
-                n_missing = fetch_tbl.num_rows - n_fetched
-                lineage_rows = list(
-                    zip(stats_rows["fname"].to_pylist(), stats_rows["n_rows"].to_pylist())
-                )
-
-                partials = fused.filter(pc.invert(stats_mask))
-                _merged = partials.group_by("target").aggregate(
-                    [
-                        ("target_count", "sum"),
-                        ("is_entity_max", "max"),
-                        ("src_depth_min", "min"),
-                        ("host", "min"),
-                    ]
-                )
-                links_tbl = pa.table(
-                    {
-                        "target": _merged["target"],
-                        "target_count": _merged["target_count_sum"],
-                        "is_entity_max": _merged["is_entity_max_max"],
-                        "src_depth_min": _merged["src_depth_min_min"],
-                        "host": _merged["host_min"],
-                    }
-                )
-                if links_tbl.num_rows:
-                    la = links_tbl
-                    prio = pc.add(
-                        pc.cast(la["target_count"], pa.float64()),
-                        pc.multiply(
-                            pc.cast(la["is_entity_max"], pa.float64()),
-                            pa.scalar(config.entity_bonus, pa.float64()),
-                        ),
-                    )
-                    new_frontier = pa.table(
-                        {
-                            "url": la["target"],
-                            "host": la["host"],
-                            "priority": prio,
-                            "depth": pc.cast(
-                                pc.add(la["src_depth_min"], pa.scalar(1, pa.int32())),
-                                pa.int32(),
-                            ),
-                        }
-                    )
-                else:
-                    new_frontier = None
+            n_fetched = int(pc.sum(fused["n_fetched"]).as_py() or 0)
+            n_links_rows = int(pc.sum(fused["n_link_rows"]).as_py() or 0)
+            n_missing = fetch_tbl.num_rows - n_fetched
+            lineage_rows = list(
+                zip(fused["fname"].to_pylist(), fused["n_rows"].to_pylist())
+            )
             # per-partition lineage manifest: every page file this
             # round, with its row count (north_rule "per-partition
             # lineage"); '_'-prefixed so parquet dataset scans skip it
@@ -1109,7 +1043,6 @@ def crawl(
         else:
             n_fetched = 0
             n_missing = 0
-            new_frontier = None
 
         # next frontier = deferred (politeness + over-budget) + new links
         frontier_candidates = frontier_rows
@@ -1121,17 +1054,44 @@ def crawl(
             deferred_count = n_deferred
         else:
             consumed_dir = loaded_dir
-            parts = [
-                t for t in (deferred_tbl, new_frontier) if t is not None and t.num_rows
-            ]
-            frontier_tbl = (
-                pa.concat_tables(parts).cast(FRONTIER_SCHEMA)
-                if parts
-                else _EMPTY_FRONTIER
-            )
-            frontier_dir = None
-            frontier_rows = frontier_tbl.num_rows
             deferred_count = deferred_tbl.num_rows
+            est = deferred_count + n_links_rows
+            if est > config.driver_threshold:
+                # driver→bucketed flip WITHOUT materializing the link
+                # partials: the fetch tasks already wrote them into
+                # next_dir bucket dirs; spill the (threshold-bounded)
+                # deferred table beside them and hand the dir off.  The
+                # driver never concatenates frontier × out-degree rows.
+                _write_bucketed(
+                    _as_candidates(deferred_tbl),
+                    next_dir,
+                    "defer-driver",
+                    num_buckets,
+                    num_shards,
+                )
+                frontier_dir = next_dir
+                frontier_tbl = None
+                frontier_rows = est
+            else:
+                # bounded read-back: at most driver_threshold partial
+                # rows by the check above
+                store = get_store()
+                files = store.list_tables(os.path.join(next_dir, "bucket=*", "*"))
+                link_cand = (
+                    pa.concat_tables([store.read_table(f) for f in files])
+                    if files
+                    else CANDIDATE_SCHEMA.empty_table()
+                )
+                cand_parts = [link_cand]
+                if deferred_tbl.num_rows:
+                    cand_parts.append(_as_candidates(deferred_tbl).cast(CANDIDATE_SCHEMA))
+                frontier_tbl = _combine_candidates(
+                    pa.concat_tables(cand_parts, promote_options="default"),
+                    config.entity_bonus,
+                )
+                shutil.rmtree(next_dir, ignore_errors=True)
+                frontier_dir = None
+                frontier_rows = frontier_tbl.num_rows
 
         metrics["urls_fetched"] += fetch_tbl.num_rows
         metrics["pages_extracted"] += n_fetched
