@@ -5,7 +5,9 @@ interleaved docs store derived from $GRAFT_SF_DIR (default sf0.1,
 replicated GRAFT_DOCS_REPLICAS× for sustained work) to frontier
 exhaustion, followed by the contexts build on the crawled pages.
 Metric value = headline wall seconds; ``urls_per_sec`` is the
-BASELINE.json sustained-throughput metric.
+BASELINE.json sustained-throughput metric.  Every timed leg is the
+median of ``GRAFT_BENCH_REPEATS`` (default 3) runs; the raw per-run
+walls are reported under ``runs``.
 
 Prints ONE JSON line.  ``--scaling`` reruns the identical job in
 fresh processes at num_cpus=8 and 32 and reports both throughputs +
@@ -29,6 +31,15 @@ REPLICAS = int(os.environ.get("GRAFT_DOCS_REPLICAS", "8"))
 TEXT_REPEAT = int(os.environ.get("GRAFT_TEXT_REPEAT", "10"))
 SKIP_QUERIES = os.environ.get("GRAFT_SKIP_QUERIES", "") == "1"
 SKIP_CONTEXTS = os.environ.get("GRAFT_SKIP_CONTEXTS", "") == "1"
+# the box swings +/-15% run to run (BASELINE.md); every timed leg is
+# run REPEATS times and the median reported so round-over-round deltas
+# are readable
+REPEATS = max(1, int(os.environ.get("GRAFT_BENCH_REPEATS", "3")))
+
+
+def _median(vals: list) -> float:
+    s = sorted(vals)
+    return s[len(s) // 2]
 
 
 
@@ -122,16 +133,22 @@ def run_bench() -> dict:
         fetch_batch_size=128,
         max_rounds=10,
     )
-    t0 = time.time()
-    metrics = crawl(
-        store,
-        docsrc.seed_table(SF_DIR, replicas=REPLICAS),
-        ref,
-        out,
-        cfg,
-        store_refs=store_refs,
-    )
-    timings["crawl"] = round(time.time() - t0, 3)
+    runs: dict = {}
+    crawl_walls = []
+    for _ in range(REPEATS):
+        shutil.rmtree(out, ignore_errors=True)
+        t0 = time.time()
+        metrics = crawl(
+            store,
+            docsrc.seed_table(SF_DIR, replicas=REPLICAS),
+            ref,
+            out,
+            cfg,
+            store_refs=store_refs,
+        )
+        crawl_walls.append(round(time.time() - t0, 3))
+    timings["crawl"] = _median(crawl_walls)
+    runs["crawl"] = crawl_walls
 
     # --- same crawl, bucketed scheduling forced (driver_threshold=0):
     # the 10^10-frontier path; recorded so the distributed-resident
@@ -140,42 +157,50 @@ def run_bench() -> dict:
         from dataclasses import replace as _dc_replace
 
         out_b = f"{out_base}/out_bucketed_{NUM_CPUS}"
-        shutil.rmtree(out_b, ignore_errors=True)
-        t0 = time.time()
-        metrics_b = crawl(
-            store,
-            docsrc.seed_table(SF_DIR, replicas=REPLICAS),
-            ref,
-            out_b,
-            _dc_replace(cfg, driver_threshold=0),
-            store_refs=store_refs,
-        )
-        timings["crawl_bucketed"] = round(time.time() - t0, 3)
-        assert metrics_b["urls_fetched"] == metrics["urls_fetched"]
+        walls = []
+        for _ in range(REPEATS):
+            shutil.rmtree(out_b, ignore_errors=True)
+            t0 = time.time()
+            metrics_b = crawl(
+                store,
+                docsrc.seed_table(SF_DIR, replicas=REPLICAS),
+                ref,
+                out_b,
+                _dc_replace(cfg, driver_threshold=0),
+                store_refs=store_refs,
+            )
+            walls.append(round(time.time() - t0, 3))
+            assert metrics_b["urls_fetched"] == metrics["urls_fetched"]
+        timings["crawl_bucketed"] = _median(walls)
+        runs["crawl_bucketed"] = walls
 
     # --- contexts build on the crawled pages ----------------------------
-    t0 = time.time()
     if SKIP_CONTEXTS:
         timings["contexts"] = 0.0
     else:
-        round_files = sorted(glob.glob(f"{out}/round=*/*.parquet"))
-        crawled = ray.data.read_parquet(round_files).map_batches(
-            lambda t: t.filter(pc.equal(t["error"], "")),
-            batch_format="pyarrow",
-            zero_copy_batch=True,
-        ).materialize()
-        contexts = build_contexts(
-            crawled,
-            ents,
-            docsrc.id_map_table(SF_DIR),
-            mentions_pairs_view(crawled),
-            context_size=100,
-            limit_contexts=10,
-        )
-        ctx_dir = f"{out_base}/contexts_{NUM_CPUS}"
-        shutil.rmtree(ctx_dir, ignore_errors=True)
-        contexts.write_parquet(ctx_dir)
-        timings["contexts"] = round(time.time() - t0, 3)
+        walls = []
+        for _ in range(REPEATS):
+            t0 = time.time()
+            round_files = sorted(glob.glob(f"{out}/round=*/*.parquet"))
+            crawled = ray.data.read_parquet(round_files).map_batches(
+                lambda t: t.filter(pc.equal(t["error"], "")),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            ).materialize()
+            contexts = build_contexts(
+                crawled,
+                ents,
+                docsrc.id_map_table(SF_DIR),
+                mentions_pairs_view(crawled),
+                context_size=100,
+                limit_contexts=10,
+            )
+            ctx_dir = f"{out_base}/contexts_{NUM_CPUS}"
+            shutil.rmtree(ctx_dir, ignore_errors=True)
+            contexts.write_parquet(ctx_dir)
+            walls.append(round(time.time() - t0, 3))
+        timings["contexts"] = _median(walls)
+        runs["contexts"] = walls
 
     # --- representative operator queries at SF_DIR ----------------------
     if not SKIP_QUERIES:
@@ -187,11 +212,15 @@ def run_bench() -> dict:
             "q_sessions",
         ):
             fn = Q.queries()[name]
-            t0 = time.time()
-            res = fn(SF_DIR)
-            if hasattr(res, "to_pandas"):
-                res.to_pandas()
-            timings[name] = round(time.time() - t0, 3)
+            walls = []
+            for _ in range(REPEATS):
+                t0 = time.time()
+                res = fn(SF_DIR)
+                if hasattr(res, "to_pandas"):
+                    res.to_pandas()
+                walls.append(round(time.time() - t0, 3))
+            timings[name] = _median(walls)
+            runs[name] = walls
 
     headline = timings["crawl"] + timings["contexts"]
     result = {
@@ -207,6 +236,8 @@ def run_bench() -> dict:
         "pages_extracted": metrics["pages_extracted"],
         "urls_per_sec": round(metrics["urls_fetched"] / timings["crawl"], 2),
         "crawl_rounds": len(metrics["rounds"]),
+        "repeats": REPEATS,
+        "runs": runs,
     }
     ray.shutdown()
     return result

@@ -952,12 +952,17 @@ def crawl(
                 # network) is the shared resource, not CPU — on this
                 # box it measurably removes a disk bottleneck at 32
                 # cpus (round wall 9.8s -> 4.8s on the heavy corpus)
+                # temp + atomic rename: a cancelled/retried task must
+                # never leave a truncated file at the final name
+                page_path = os.path.join(round_dir, f"{fname}.parquet")
+                page_tmp = f"{page_path}.tmp{os.getpid()}"
                 pq.write_table(
                     pages,
-                    os.path.join(round_dir, f"{fname}.parquet"),
+                    page_tmp,
                     compression="zstd",
                     compression_level=1,
                 )
+                os.replace(page_tmp, page_path)
 
                 col = out["out_links"].combine_chunks()
                 parent = pc.list_parent_indices(col)
@@ -1006,13 +1011,20 @@ def crawl(
                     }
                 )
 
-            fused_parts = ray.get(
+            # drain via iter_batches, NOT to_arrow_refs(): in Ray 2.49
+            # to_arrow_refs() calls schema(fetch_if_missing=True) after
+            # consuming the bundles, which launches a SECOND limit-1
+            # execution of this plan — re-running these side-effecting
+            # tasks and cancelling them mid-write once one row arrives,
+            # leaving truncated parquet files for the next round to
+            # trip over.  iter_batches drains one execution and stops.
+            fused_parts = list(
                 fetch_in.map_batches(
                     fetch_extract_fused,
                     batch_format="pyarrow",
                     batch_size=config.fetch_batch_size,
                     num_cpus=1,
-                ).to_arrow_refs()
+                ).iter_batches(batch_size=None, batch_format="pyarrow")
             )
             fused = pa.concat_tables(fused_parts, promote_options="default")
             _mark("fetch_extract")

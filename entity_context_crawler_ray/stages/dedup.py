@@ -389,11 +389,11 @@ def verify_jaccard_pairs(
         return pa.table({"bits": pa.array([sh.bits.tobytes()], pa.binary())})
 
     merged = np.zeros(_VERIFY_BLOOM_BITS // 8, dtype=np.uint8)
-    for part in ray.get(
-        pairs.map_batches(
-            batch_bloom, batch_format="pyarrow", batch_size=65536
-        ).to_arrow_refs()
-    ):
+    # iter_batches, not to_arrow_refs: avoids the wasted limit-1
+    # schema re-execution on non-materialized plans
+    for part in pairs.map_batches(
+        batch_bloom, batch_format="pyarrow", batch_size=65536
+    ).iter_batches(batch_size=None, batch_format="pyarrow"):
         for blob in part["bits"].to_pylist():
             merged |= np.frombuffer(blob, dtype=np.uint8)
     bloom_ref = ray.put(merged)
@@ -599,7 +599,7 @@ def connected_components(
                 parent[x], x = r, parent[x]
             return r
 
-        for part in ray.get(edges_f.to_arrow_refs()):
+        for part in edges_f.iter_batches(batch_size=None, batch_format="pyarrow"):
             for a, b in zip(part["a"].to_pylist(), part["b"].to_pylist()):
                 ra, rb = find(a), find(b)
                 if ra != rb:  # union by MIN id so labels are canonical

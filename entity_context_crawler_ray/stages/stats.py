@@ -98,8 +98,12 @@ def quantiles_exact(
         # TIME, accumulating into O(num_bins × windows) arrays — driver
         # memory is independent of the number of input blocks
         by_win = {}
-        for ref in ds.map_batches(hist, batch_format="pyarrow").to_arrow_refs():
-            part = ray.get(ref)
+        # iter_batches, not to_arrow_refs: the latter's post-execution
+        # schema(fetch_if_missing=True) launches a wasted limit-1
+        # re-execution of the plan on non-materialized datasets
+        for part in ds.map_batches(hist, batch_format="pyarrow").iter_batches(
+            batch_size=None, batch_format="pyarrow"
+        ):
             for wi, b, c in zip(
                 part["win"].to_pylist(),
                 part["bin"].to_pylist(),
@@ -147,7 +151,11 @@ def quantiles_exact(
             )
 
         parts = pa.concat_tables(
-            ray.get(ds.map_batches(collect, batch_format="pyarrow").to_arrow_refs())
+            list(
+                ds.map_batches(collect, batch_format="pyarrow").iter_batches(
+                    batch_size=None, batch_format="pyarrow"
+                )
+            )
         )
         for i, w in live.items():
             vals = np.sort(

@@ -41,7 +41,13 @@ class ParquetStore:
     suffix = ".parquet"
 
     def write_table(self, table: pa.Table, path: str) -> None:
-        pq.write_table(table, path)
+        # write-to-temp + atomic rename: a task cancelled mid-write (Ray
+        # retry, a cancelled limit execution, preemption) must never
+        # leave a truncated file at the final name — readers of bucket
+        # dirs glob ``*.parquet`` and would trip on a 0-byte file
+        tmp = f"{path}.tmp{os.getpid()}"
+        pq.write_table(table, tmp)
+        os.replace(tmp, path)
 
     def read_table(self, path: str, columns: Optional[List[str]] = None) -> pa.Table:
         return pq.read_table(path, columns=columns)
