@@ -670,18 +670,34 @@ from .build_matches import (
 
 
 # ten ecc_* queries share the same stage-1 output; materialize it once
-# per sf per process (pinned blocks in the object store — sf-scale) so
-# the driver's correctness gate doesn't re-run stage 1 per query
-_COMBINED_CACHE: Dict[str, tuple] = {}
+# per (sf, Ray session) — keying on the session/job id drops entries
+# whose pinned object-store blocks dangled when Ray was restarted in
+# the same process, and clearing on session change bounds the cache
+_COMBINED_CACHE: Dict[tuple, tuple] = {}
+
+
+def _ray_session_key() -> str:
+    import ray as _ray
+
+    try:
+        if _ray.is_initialized():
+            return _ray.get_runtime_context().get_job_id()
+    except Exception:  # noqa: BLE001
+        pass
+    return ""
 
 
 def _combined(sf_dir: str):
-    hit = _COMBINED_CACHE.get(sf_dir)
+    key = (sf_dir, _ray_session_key())
+    hit = _COMBINED_CACHE.get(key)
     if hit is None:
+        stale = [k for k in _COMBINED_CACHE if k[1] != key[1]]
+        for k in stale:
+            del _COMBINED_CACHE[k]
         docs_ds = docsrc.read_docs(sf_dir)
         ents = docsrc.entity_catalog(sf_dir)
         hit = (build_matches(docs_ds, ents).materialize(), ents)
-        _COMBINED_CACHE[sf_dir] = hit
+        _COMBINED_CACHE[key] = hit
     return hit
 
 

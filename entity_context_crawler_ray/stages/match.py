@@ -156,6 +156,9 @@ class CombinedBuilder:
         self.n_off = [0]
 
     def add_error(self, title: str, msg: str) -> None:
+        # error rows carry 0 (not null) in the seven count columns —
+        # aggregates over counts must filter error == '' first, as every
+        # *_view and oracle in this repo does
         self.title.append(title)
         self.clean_text.append("")
         for name in self._SCALARS[2:9]:

@@ -117,7 +117,15 @@ def load_checkpoint(
     fdir = manifest.get("frontier_dir")
     if fdir is not None:
         if not os.path.isabs(fdir):
-            fdir = os.path.join(out_dir, fdir) if out_dir else os.path.abspath(fdir)
+            if out_dir is None:
+                # resolving against the process CWD would silently pick
+                # a wrong path for relocated outputs; demand the anchor
+                raise ValueError(
+                    f"checkpoint round={round_id} has a relative "
+                    f"frontier_dir {fdir!r}; pass out_dir= so it can be "
+                    f"resolved against the crawl output root"
+                )
+            fdir = os.path.join(out_dir, fdir)
         # a COMPLETED crawl's final checkpoint records frontier_rows=0
         # with a next-round dir that was never created (nothing was
         # deferred) — resume is then a no-op, not an error

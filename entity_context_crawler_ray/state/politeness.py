@@ -141,20 +141,26 @@ class PolitenessShard:
         URL string of the round in actor memory."""
         key = ("admit", round_id, host)
         hit = self._cache.get(key)
+        # cheap content fingerprint: replaying cached boundary counts
+        # onto a DIFFERENT or reordered url list would silently admit
+        # the wrong urls; the invariant is checked, not assumed
+        fp = stable_hash64("\x1f".join(urls_by_priority))
         if hit is None:
             adm, dfr, den = self._host(host).admit(round_id, urls_by_priority)
             self._cache[key] = (
                 len(urls_by_priority),
                 len(adm) + len(dfr),
                 len(adm),
+                fp,
             )
             self._evict_cache(round_id)
             return adm, dfr, den
-        n_urls, n_room, n_take = hit
-        if n_urls != len(urls_by_priority):
+        n_urls, n_room, n_take, cached_fp = hit
+        if n_urls != len(urls_by_priority) or cached_fp != fp:
             raise ValueError(
                 f"politeness replay mismatch for {(round_id, host)}: "
-                f"cached n_urls={n_urls}, got {len(urls_by_priority)}"
+                f"cached n_urls={n_urls} fp={cached_fp}, got "
+                f"{len(urls_by_priority)} fp={fp}"
             )
         return self._replay_admit(host, urls_by_priority, n_room, n_take)
 

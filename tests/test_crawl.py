@@ -640,14 +640,18 @@ def test_politeness_admit_replay_compact():
     assert first == again
     adm, dfr, den = first
     assert len(adm) == 3 and den == ["http://h/private/x", "http://h/4"]
-    # compact cache: ints only, no url strings retained
+    # compact cache: counts + a 64-bit content fingerprint, no url
+    # strings retained
     entry = shard._cache[("admit", 0, "h")]
-    assert entry == (6, 4, 3)
-    # a replay with a different url list is a contract violation
+    assert entry[:3] == (6, 4, 3) and isinstance(entry[3], int)
+    # a replay with a different url list is a contract violation ...
     import pytest as _pytest
 
     with _pytest.raises(ValueError):
         shard.admit(0, "h", urls[:2])
+    # ... and so is a SAME-LENGTH but different or reordered list
+    with _pytest.raises(ValueError):
+        shard.admit(0, "h", list(reversed(urls)))
     # batched form goes through the same compact cache
     statuses = shard.admit_many(0, ["h"], [urls])
     assert statuses[0] == ["admit"] * 3 + ["defer", "deny", "deny"]
