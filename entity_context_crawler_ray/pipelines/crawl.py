@@ -59,7 +59,7 @@ import pyarrow.parquet as pq
 import ray
 import ray.data
 
-from ..functions.hashing import stable_hash64
+from ..functions.hashing import stable_hash64, stable_hash64_array
 from ..sources.doc_store import DocStoreReader, PlasmaDocStoreReader, preload_doc_store
 from ..sources.docs import host_of
 from ..stages.match import CombinedBuilder, SpanColumns
@@ -95,6 +95,20 @@ class CrawlConfig:
     seen_filter: str = "bloom"       # 'bloom' | 'cuckoo' (deletable)
     num_politeness_shards: int = 2
     hot_host_salt: int = 0           # >0 enables salted pre-truncation
+    # Distributed pre-scheduling of HOT buckets (default-on): a
+    # single-domain crawl funnels every candidate into one frontier
+    # bucket (bucket = f(host)), so one schedule task would do all the
+    # combine/probe/sort work.  Buckets whose on-disk candidate bytes
+    # exceed presplit_factor/num_buckets of the round total AND
+    # presplit_min_bytes are pre-processed by a wave of url-hash-sliced
+    # tasks (combine → bloom probe → robots-deny → per-host
+    # top-capacity truncation) that leave compact presched files for
+    # the admitting task — semantics-preserving because every
+    # global-top-room candidate survives its slice's top-capacity cut
+    # (the same containment argument as hot_host_salt pre-truncation).
+    presplit_factor: float = 2.0
+    presplit_min_bytes: int = 32 << 20
+    presplit_slices: int = 8         # tasks per hot bucket in the wave
     entity_bonus: float = 10.0
     fetch_batch_size: int = 64
     doc_store_partitions: int = 32
@@ -380,6 +394,7 @@ def _make_bucket_scheduler(
     config: CrawlConfig,
     round_id: int,
     num_buckets: int,
+    presplit: frozenset = frozenset(),
 ):
     """One task per frontier bucket: read -> combine -> probe -> admit
     (ONE politeness call) -> defer-write -> local top-budget truncate.
@@ -395,7 +410,11 @@ def _make_bucket_scheduler(
         store = get_store()
         out: List[pa.Table] = []
         for b in batch["bucket"].to_pylist():
-            files = store.list_tables(os.path.join(in_dir, f"bucket={b}", "*"))
+            # a presplit (hot) bucket was already combined/probed/
+            # denied/truncated by the wave-0 slice tasks — merge only
+            # their compact presched survivor files
+            pattern = "presched-*" if b in presplit else "*"
+            files = store.list_tables(os.path.join(in_dir, f"bucket={b}", pattern))
             if not files:
                 continue
             raw = pa.concat_tables([store.read_table(f) for f in files])
@@ -541,6 +560,95 @@ def _make_bucket_scheduler(
 
 
 @ray.remote(num_cpus=1)
+def _presplit_task(
+    bucket: int,
+    slice_id: int,
+    n_slices: int,
+    in_dir: str,
+    next_dir: str,
+    bloom,
+    config: CrawlConfig,
+    num_buckets: int,
+) -> Tuple[int, int]:
+    """Wave-0 pre-scheduling of one url-hash SLICE of a hot bucket:
+    combine partials → bloom probe → robots-deny → per-host sort +
+    top-capacity truncation.  Survivors land as a compact
+    ``presched-{slice}`` file the admitting wave-1 task merges; the
+    truncated tail is deferred to the next round.  Exact because (a)
+    every copy/partial of a url shares its slice (url hash), so
+    combine is complete, and (b) a host's global top-room candidates
+    are within each slice's local top-capacity.  Retry-idempotent:
+    reads + deterministic atomic writes only; never touches the
+    politeness actors.  Returns (n_denied, n_deferred)."""
+    store = get_store()
+    bdir = os.path.join(in_dir, f"bucket={bucket}")
+    files = [
+        f
+        for f in store.list_tables(os.path.join(bdir, "*"))
+        if not os.path.basename(f).startswith("presched-")
+    ]
+    if not files:
+        return 0, 0
+    raw = pa.concat_tables([store.read_table(f) for f in files])
+    mine = raw.filter(
+        pa.array(
+            stable_hash64_array(raw["url"].to_pylist(), "presplit") % n_slices
+            == slice_id
+        )
+    )
+    cand = _combine_candidates(mine, config.entity_bonus)
+    if cand.num_rows:
+        seen = ShardedSeenFilter(bloom).probe(cand["url"].to_pylist())
+        cand = cand.filter(pa.array([not s for s in seen]))
+    n_denied = 0
+    n_deferred = 0
+    if not cand.num_rows:
+        return 0, 0
+    idx = pc.sort_indices(
+        cand,
+        sort_keys=[
+            ("host", "ascending"),
+            ("priority", "descending"),
+            ("url", "ascending"),
+        ],
+    )
+    cand = cand.take(idx)
+    hosts = cand["host"].to_pylist()
+    urls = cand["url"].to_pylist()
+    keep_idx: List[int] = []
+    defer_idx: List[int] = []
+    start = 0
+    for i in range(1, len(hosts) + 1):
+        if i == len(hosts) or hosts[i] != hosts[start]:
+            prefixes = tuple(config.deny.get(hosts[start], ()))
+            kept = 0
+            for k in range(start, i):
+                if prefixes and any(urls[k].startswith(p) for p in prefixes):
+                    n_denied += 1
+                elif kept < config.capacity:
+                    keep_idx.append(k)
+                    kept += 1
+                else:
+                    defer_idx.append(k)
+            start = i
+    if defer_idx:
+        n_deferred = _write_bucketed(
+            _as_candidates(cand.take(pa.array(defer_idx, pa.int64()))),
+            next_dir,
+            f"psdefer-{bucket}-{slice_id}",
+            num_buckets,
+            config.num_politeness_shards,
+        )
+    keep = cand.take(pa.array(keep_idx, pa.int64()))
+    if keep.num_rows:
+        store.write_table(
+            _as_candidates(keep),
+            os.path.join(bdir, f"presched-{slice_id}{store.suffix}"),
+        )
+    return n_denied, n_deferred
+
+
+@ray.remote(num_cpus=1)
 def _bucket_schedule_task(
     bucket_ids: List[int],
     in_dir: str,
@@ -550,6 +658,7 @@ def _bucket_schedule_task(
     config: CrawlConfig,
     round_id: int,
     num_buckets: int,
+    presplit: frozenset = frozenset(),
 ) -> pa.Table:
     """One Ray task scheduling a CHUNK of frontier buckets (see
     _schedule_round_bucketed): loops the shared scheduler body over
@@ -557,7 +666,7 @@ def _bucket_schedule_task(
     Retry-idempotent — every write inside is deterministically named
     and the politeness admit cache replays."""
     fn = _make_bucket_scheduler(
-        in_dir, next_dir, bloom, politeness, config, round_id, num_buckets
+        in_dir, next_dir, bloom, politeness, config, round_id, num_buckets, presplit
     )
     return fn(pa.table({"bucket": pa.array(bucket_ids, pa.int32())}))
 
@@ -572,9 +681,9 @@ def _schedule_round_bucketed(
     num_buckets: int,
 ):
     """Distributed round scheduling over the bucketed frontier dir.
-    Returns (fetch_tbl, deferred_rows_written, n_denied, n_admitted).
-    Deferred rows never touch the driver — they are already on disk in
-    ``next_dir`` when this returns.
+    Returns (fetch_tbl, deferred_rows_written, n_denied, n_admitted,
+    n_presplit_buckets).  Deferred rows never touch the driver — they
+    are already on disk in ``next_dir`` when this returns.
 
     Scheduling is kilobyte-sized bookkeeping at a fixed fan-out (one
     unit per bucket), so it runs as PLAIN Ray tasks — one task per
@@ -590,23 +699,71 @@ def _schedule_round_bucketed(
         for p in _glob.glob(os.path.join(in_dir, "bucket=*"))
     )
     if not bucket_ids:
-        return _EMPTY_FRONTIER, 0, 0, 0
+        return _EMPTY_FRONTIER, 0, 0, 0, 0
     try:
         cpus = int(ray.cluster_resources().get("CPU", 8))
     except Exception:  # noqa: BLE001
         cpus = 8
+
+    # wave 0 (default-on): pre-schedule HOT buckets with url-hash
+    # sliced tasks.  Detection is on-disk bucket byte skew — a
+    # single-domain crawl funnels every candidate into one bucket, so
+    # that bucket's bytes dwarf total/num_buckets.  Byte sizes come
+    # from a directory stat, no reads.
+    presplit: frozenset = frozenset()
+    n_denied0 = 0
+    n_deferred0 = 0
+    sizes = {
+        b: sum(
+            os.path.getsize(f)
+            for f in _glob.glob(os.path.join(in_dir, f"bucket={b}", "*"))
+            if not os.path.basename(f).startswith("presched-")
+        )
+        for b in bucket_ids
+    }
+    total_bytes = sum(sizes.values())
+    rel_cut = (
+        total_bytes * config.presplit_factor / num_buckets if num_buckets > 1 else 0.0
+    )
+    cut = max(rel_cut, float(config.presplit_min_bytes))
+    # >= so a fully-skewed layout still trips when num_buckets is
+    # small (one bucket holding everything == factor×fair-share exactly
+    # at num_buckets == factor)
+    hot = [b for b in bucket_ids if sizes[b] > 0 and sizes[b] >= cut]
+    if hot:
+        n_slices = max(int(config.presplit_slices), 1)
+        pre_refs = [
+            _presplit_task.remote(
+                b, j, n_slices, in_dir, next_dir, bloom, config, num_buckets
+            )
+            for b in hot
+            for j in range(n_slices)
+        ]
+        for nd, nf in ray.get(pre_refs):
+            n_denied0 += nd
+            n_deferred0 += nf
+        presplit = frozenset(hot)
+
     n_tasks = min(len(bucket_ids), max(cpus, 1))
     chunks = [bucket_ids[i::n_tasks] for i in range(n_tasks)]
     refs = [
         _bucket_schedule_task.remote(
-            chunk, in_dir, next_dir, bloom, politeness, config, round_id, num_buckets
+            chunk,
+            in_dir,
+            next_dir,
+            bloom,
+            politeness,
+            config,
+            round_id,
+            num_buckets,
+            presplit,
         )
         for chunk in chunks
         if chunk
     ]
     parts = [t for t in ray.get(refs) if t.num_rows]
     if not parts:
-        return _EMPTY_FRONTIER, 0, 0, 0
+        return _EMPTY_FRONTIER, n_deferred0, n_denied0, 0, len(presplit)
     allt = pa.concat_tables(parts)
     marker_mask = pc.is_null(allt["url"])
     markers = allt.filter(marker_mask)
@@ -633,7 +790,13 @@ def _schedule_round_bucketed(
         )
     if fetch_tbl.num_rows:
         ShardedSeenFilter(bloom).set_seen(fetch_tbl["url"].to_pylist())
-    return fetch_tbl, n_deferred, n_denied, n_admitted
+    return (
+        fetch_tbl,
+        n_deferred + n_deferred0,
+        n_denied + n_denied0,
+        n_admitted,
+        len(presplit),
+    )
 
 
 def _refund_over_budget(politeness, round_id: int, cut_hosts: List[str]) -> None:
@@ -869,7 +1032,13 @@ def crawl(
                     num_shards,
                 )
                 frontier_tbl = None
-            fetch_tbl, n_deferred, n_denied, n_admitted = _schedule_round_bucketed(
+            (
+                fetch_tbl,
+                n_deferred,
+                n_denied,
+                n_admitted,
+                n_presplit,
+            ) = _schedule_round_bucketed(
                 frontier_dir, next_dir, bloom, politeness, config, round_id, num_buckets
             )
         else:
@@ -892,6 +1061,7 @@ def crawl(
             fetch_tbl, deferred_tbl, n_denied, n_admitted = _schedule_round_driver(
                 frontier_tbl, bloom, politeness, config, round_id
             )
+            n_presplit = 0
         _mark("schedule")
 
         # fetch log (crawl-ordering parity artifact)
@@ -1119,6 +1289,7 @@ def crawl(
                 "deferred": deferred_count,
                 "new_frontier": frontier_rows,
                 "scheduling": "bucketed" if bucketed else "driver",
+                "presplit_buckets": n_presplit,
                 "sec": round(time.time() - t_round, 3),
                 "phases": phase_t,
             }

@@ -69,6 +69,21 @@ def doc_title(idx: int, replica: int = 0) -> str:
 
 
 def host_of(doc_id: str) -> str:
+    """Politeness host of a doc id.
+
+    Real URLs (``scheme://host/path``) parse to the lowercased netloc
+    host (userinfo/port stripped) — the deployment path, where one
+    Wikipedia crawl is ONE host and politeness must group by the real
+    domain.  Bare titles (the sandbox corpus) fall back to a synthetic
+    hash into ``N_HOSTS`` buckets so the politeness machinery is
+    exercised with a multi-host shape at test scale."""
+    if "://" in doc_id:
+        from urllib.parse import urlsplit
+
+        netloc = urlsplit(doc_id).netloc.lower()
+        host = netloc.rsplit("@", 1)[-1].split(":", 1)[0]
+        if host:
+            return host
     return f"h{stable_hash64('host', doc_id) % N_HOSTS}"
 
 

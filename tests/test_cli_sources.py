@@ -313,3 +313,20 @@ def test_driver_entry_contract():
         "context",
         "masked_context",
     ]
+
+
+def test_host_of_parses_real_urls():
+    """Real scheme://host URLs parse to the registrable netloc host
+    (lowercase, port/userinfo stripped); bare titles keep the synthetic
+    hN fallback so the sandbox corpus exercises a multi-host shape."""
+    from entity_context_crawler_ray.sources.docs import N_HOSTS, host_of
+
+    assert host_of("https://en.wikipedia.org/wiki/Graph") == "en.wikipedia.org"
+    assert host_of("http://EN.Wikipedia.ORG:8080/wiki/X") == "en.wikipedia.org"
+    assert host_of("https://user:pw@example.com/path") == "example.com"
+    # bare title -> synthetic bucket, deterministic
+    h = host_of("Doc_17")
+    assert h.startswith("h") and int(h[1:]) < N_HOSTS
+    assert h == host_of("Doc_17")
+    # malformed scheme URL with empty netloc also falls back
+    assert host_of("https:///nohost").startswith("h")

@@ -167,11 +167,31 @@ def test_crawl_salting_and_scheduling_paths_equivalent(store_and_inputs):
         CrawlConfig(driver_threshold=0, hot_host_salt=4, **kw),
         "salted",
     )
+    # hot-bucket presplit wave forced on every bucket (thresholds 0):
+    # wave-0 slice tasks combine/probe/deny/truncate, wave 1 merges
+    # their presched files — fetch ordering must be bit-identical
+    metrics_ps, out_presplit = _run(
+        store,
+        ref,
+        seeds,
+        CrawlConfig(
+            driver_threshold=0,
+            presplit_factor=0.0,
+            presplit_min_bytes=0,
+            presplit_slices=3,
+            **kw,
+        ),
+        "presplit",
+    )
     a = _read_fetch_log(out_plain)[["round", "rank", "url"]]
     b = _read_fetch_log(out_dist)[["round", "rank", "url"]]
     c = _read_fetch_log(out_salted)[["round", "rank", "url"]]
+    d = _read_fetch_log(out_presplit)[["round", "rank", "url"]]
     pd.testing.assert_frame_equal(a, b)
     pd.testing.assert_frame_equal(a, c)
+    pd.testing.assert_frame_equal(a, d)
+    # the wave actually ran: every bucketed round presplit its buckets
+    assert all(r["presplit_buckets"] > 0 for r in metrics_ps["rounds"])
 
 
 def test_crawl_bucketed_with_budgets_matches_simulator(store_and_inputs):
@@ -208,6 +228,79 @@ def test_crawl_bucketed_with_budgets_matches_simulator(store_and_inputs):
     # the frontier never lived on the driver: consumed round dirs are
     # cleaned up, at most the final (empty) round dir remains
     assert len(glob.glob(f"{out}/frontier/round=*")) <= 1
+
+
+def test_crawl_presplit_with_budgets_matches_simulator(store_and_inputs):
+    """Forced hot-bucket presplit under binding robots rules + token
+    capacity + host budgets must still reproduce the simulator's
+    ordering and seen set — wave-0 deny counting and per-host
+    top-capacity truncation are exercised for real (capacity=5)."""
+    store, ref, docs_local, idx, seeds = store_and_inputs
+    cfg = CrawlConfig(
+        max_depth=1,
+        round_budget=40,
+        capacity=5,
+        refill=3,
+        deny={"h3": ["Doc_1"]},
+        host_budget={"h5": 7},
+        num_bloom_shards=2,
+        num_politeness_shards=2,
+        doc_store_partitions=8,
+        max_rounds=40,
+        driver_threshold=0,
+        presplit_factor=0.0,
+        presplit_min_bytes=0,
+        presplit_slices=3,
+    )
+    metrics, out = _run(store, ref, seeds, cfg, "presplit_budget")
+    sim = simulate_crawl(
+        docs_local,
+        list(zip(seeds["url"].to_pylist(), seeds["priority"].to_pylist())),
+        idx["title_to_eid"],
+        cfg,
+    )
+    log = _read_fetch_log(out)
+    assert list(zip(log["round"], log["rank"], log["url"])) == sim["fetch_log"]
+    assert set(log["url"]) == sim["seen"]
+    assert all(r["presplit_buckets"] > 0 for r in metrics["rounds"])
+
+
+def test_crawl_one_host_seed_auto_presplit(store_and_inputs):
+    """A single-host seed set funnels the whole round-0 frontier into
+    ONE bucket; the default byte-skew detection (factor 2.0; min-bytes
+    floored to 0 for this KB-scale corpus) must auto-engage the
+    presplit wave for that bucket, and the fetch log must still match
+    the simulator exactly."""
+    from entity_context_crawler_ray.sources.docs import host_of
+
+    store, ref, docs_local, idx, seeds = store_and_inputs
+    mask = [host_of(u) == "h3" for u in seeds["url"].to_pylist()]
+    one_host = seeds.filter(pa.array(mask))
+    assert one_host.num_rows > 0
+    cfg = CrawlConfig(
+        max_depth=1,
+        round_budget=40,
+        capacity=5,
+        refill=3,
+        num_bloom_shards=2,
+        num_politeness_shards=2,
+        doc_store_partitions=8,
+        max_rounds=40,
+        driver_threshold=0,
+        presplit_min_bytes=0,
+        presplit_slices=3,
+    )
+    metrics, out = _run(store, ref, one_host, cfg, "one_host_presplit")
+    sim = simulate_crawl(
+        docs_local,
+        list(zip(one_host["url"].to_pylist(), one_host["priority"].to_pylist())),
+        idx["title_to_eid"],
+        cfg,
+    )
+    log = _read_fetch_log(out)
+    assert list(zip(log["round"], log["rank"], log["url"])) == sim["fetch_log"]
+    # round 0: one bucket holds ~100% of the bytes -> auto-detected hot
+    assert metrics["rounds"][0]["presplit_buckets"] >= 1
 
 
 def test_crawl_bucketed_resume_equivalence(store_and_inputs):
