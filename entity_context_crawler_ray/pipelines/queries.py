@@ -779,8 +779,11 @@ def _ensure_oracle_inputs() -> tuple:
     docs_path = os.path.join(_ORACLE_INPUT_BASE, "docs.parquet")
     ents_path = os.path.join(_ORACLE_INPUT_BASE, "entities.parquet")
     idmap_path = os.path.join(_ORACLE_INPUT_BASE, "id_map.parquet")
-    if all(os.path.exists(p) for p in (docs_path, ents_path, idmap_path)):
-        return docs_path, ents_path, idmap_path
+    hosts_path = os.path.join(_ORACLE_INPUT_BASE, "hosts.parquet")
+    if all(
+        os.path.exists(p) for p in (docs_path, ents_path, idmap_path, hosts_path)
+    ):
+        return docs_path, ents_path, idmap_path, hosts_path
     import glob as _glob
     import shutil as _shutil
 
@@ -789,6 +792,7 @@ def _ensure_oracle_inputs() -> tuple:
     corpus, doc_ids, kinds, texts, refs, offs = [], [], [], [], [], []
     e_corpus, e_eid, e_label, e_title = [], [], [], []
     i_corpus, i_eid, i_rid = [], [], []
+    h_corpus, h_url, h_host = [], [], []
     for sf in sorted(_glob.glob("/root/testdata/sf*")):
         src = _pq.read_table(
             f"{sf}/documents.parquet", columns=["doc_id", "text", "n_chars"]
@@ -821,6 +825,19 @@ def _ensure_oracle_inputs() -> tuple:
             i_corpus.append(fp)
             i_eid.append(eid)
             i_rid.append(rid)
+        # url -> politeness host (blake2b-derived, not SQL-computable):
+        # every crawlable url (doc titles ∪ link targets) of this sf
+        urls = {docsrc.doc_title(idx) for idx in src["doc_id"].to_pylist()}
+        urls |= {t for t in ents["page_title"].to_pylist() if t}
+        span_targets = {
+            r
+            for c, k, r in zip(corpus, kinds, refs)
+            if c == fp and k == "link" and r
+        }
+        for u in sorted(urls | span_targets):
+            h_corpus.append(fp)
+            h_url.append(u)
+            h_host.append(docsrc.host_of(u))
     tmp = _ORACLE_INPUT_BASE + ".tmp"
     _shutil.rmtree(tmp, ignore_errors=True)
     os.makedirs(tmp)
@@ -858,9 +875,19 @@ def _ensure_oracle_inputs() -> tuple:
         ),
         os.path.join(tmp, "id_map.parquet"),
     )
+    _pq.write_table(
+        pa.table(
+            {
+                "corpus": pa.array(h_corpus, pa.int64()),
+                "url": pa.array(h_url, pa.string()),
+                "host": pa.array(h_host, pa.string()),
+            }
+        ),
+        os.path.join(tmp, "hosts.parquet"),
+    )
     _shutil.rmtree(_ORACLE_INPUT_BASE, ignore_errors=True)
     os.rename(tmp, _ORACLE_INPUT_BASE)
-    return docs_path, ents_path, idmap_path
+    return docs_path, ents_path, idmap_path, hosts_path
 
 
 # the cleaner as one SQL expression (same transform as SQL_DOC_CLEAN,
@@ -885,7 +912,7 @@ _SQL_CLEANER = r"""coalesce(array_to_string(
 def _ecc_oracle_prefix() -> str:
     """Shared CTE chain: derived inputs -> page text -> cleaner ->
     entity links -> ambiguity dedup -> phrase-match offset scan."""
-    docs_path, ents_path, _ = _ensure_oracle_inputs()
+    docs_path, ents_path, _, _ = _ensure_oracle_inputs()
     cleaner = _SQL_CLEANER.format(col="page_text")
     return f"""
 WITH fp AS (SELECT CAST(sum(n_chars) AS BIGINT) AS v FROM documents),
@@ -1027,7 +1054,7 @@ def ecc_contexts_all(sf_dir: str):
 def _sql_ecc_contexts_head(size: int) -> str:
     """Shared CTE chain for the stage-2 oracles: eligible entities,
     per-entity pattern sets, and the ±size window around each match."""
-    _, _, idmap_path = _ensure_oracle_inputs()
+    _, _, idmap_path, _ = _ensure_oracle_inputs()
     return rf"""
 , idmap AS (
   SELECT entity_id, rid FROM read_parquet('{idmap_path}')
@@ -1239,14 +1266,31 @@ FROM contexts_all GROUP BY entity_label
     )
 
 
+_CRAWL_LOG_CAPACITY = 10
+_CRAWL_LOG_REFILL = 2
+_CRAWL_LOG_MAX_ROUNDS = 30
+
+
 def ecc_crawl_log(sf_dir: str):
-    """Frontier crawl over the doc store; returns the deterministic
-    fetch log (round, rank, url, priority, depth)."""
+    """Budget-CONSTRAINED frontier crawl over the doc store; returns
+    the deterministic fetch log (round, rank, url, priority, depth).
+
+    The politeness token walk BINDS here (capacity 10, refill 2):
+    round-1 link candidates exceed many hosts' tokens, so their tails
+    defer and drain over later rounds at ``refill`` per host per
+    round.  With depth<=1 and capacity >= the per-host seed count at
+    the oracle scale factors, every seed is fetched in round 0, so no
+    new links arise after round 1 and the admission round of a host's
+    p-th candidate (priority desc, url) has the closed form
+    ``1 + ceil((p+1-t1)/refill)`` with ``t1 = min(cap, cap - seeds_h
+    + refill)`` — which is what sql_ecc_crawl_log() computes (the
+    general budget interplay stays simulator-verified,
+    tests/test_crawl.py)."""
     import glob
 
     from .crawl import CrawlConfig, crawl
 
-    tag = stable_hash64("qtag", sf_dir, docsrc.DERIVATION_VERSION) % (1 << 32)
+    tag = stable_hash64("qtag2", sf_dir, docsrc.DERIVATION_VERSION) % (1 << 32)
     base = f"/tmp/ecc_q_crawl_{tag}"
     store = f"{base}/docstore"
     if not os.path.isdir(store):
@@ -1263,17 +1307,102 @@ def ecc_crawl_log(sf_dir: str):
     cfg = CrawlConfig(
         max_depth=1,
         round_budget=1000,
-        capacity=100,
-        refill=50,
+        capacity=_CRAWL_LOG_CAPACITY,
+        refill=_CRAWL_LOG_REFILL,
         num_bloom_shards=4,
         num_politeness_shards=2,
         doc_store_partitions=16,
-        max_rounds=30,
+        max_rounds=_CRAWL_LOG_MAX_ROUNDS,
     )
     crawl(store, docsrc.seed_table(sf_dir), ref, out, cfg)
     files = sorted(glob.glob(f"{out}/fetch_log/*.parquet"))
     tbl = pa.concat_tables([pq.read_table(f) for f in files])
     return tbl.select(["round", "rank", "url", "priority", "depth"])
+
+
+def sql_ecc_crawl_log() -> str:
+    """DuckDB twin of the budget-constrained crawl: models the
+    politeness token-bucket walk in closed form (see ecc_crawl_log).
+    Host assignment is blake2b-derived, so it comes in as the
+    ``hosts`` derived-input parquet (the same pattern as the span
+    inputs)."""
+    _, _, _, hosts_path = _ensure_oracle_inputs()
+    cap = _CRAWL_LOG_CAPACITY
+    refill = _CRAWL_LOG_REFILL
+    max_rounds = _CRAWL_LOG_MAX_ROUNDS
+    return _ecc_oracle_prefix() + f"""
+, seeds AS (
+  SELECT DISTINCT page_title AS url FROM ents WHERE page_title <> ''
+),
+hosts AS (
+  SELECT url, host FROM read_parquet('{hosts_path}')
+  WHERE corpus = (SELECT v FROM fp)
+),
+r0 AS (
+  SELECT CAST(0 AS INTEGER) AS round,
+         CAST(row_number() OVER (ORDER BY url) - 1 AS BIGINT) AS rank,
+         url, CAST(1.0 AS DOUBLE) AS priority, CAST(0 AS INTEGER) AS depth
+  FROM seeds
+),
+s0 AS (
+  -- seeds admitted per host in round 0 (all of them: capacity covers)
+  SELECT h.host, count(*) AS n FROM seeds s JOIN hosts h ON h.url = s.url
+  GROUP BY h.host
+),
+links0 AS (
+  SELECT s.media_ref AS target
+  FROM spans s JOIN seeds f ON s.doc_id = f.url
+  WHERE s.kind = 'link' AND s.media_ref <> ''
+),
+cand1 AS (
+  SELECT l.target AS url,
+         count(*)
+           + CASE WHEN max(CASE WHEN t.title IS NOT NULL THEN 1 ELSE 0 END) = 1
+                  THEN 10.0 ELSE 0.0 END AS priority
+  FROM links0 l LEFT JOIN title2eid t ON t.title = l.target
+  GROUP BY l.target
+),
+unseen AS (
+  SELECT c.url, c.priority, h.host
+  FROM cand1 c JOIN hosts h ON h.url = c.url
+  WHERE c.url NOT IN (SELECT url FROM seeds)
+),
+tok1 AS (
+  -- tokens at round 1: capacity - round-0 spend + one refill (hosts
+  -- first touched at round 1 start full; no catch-up refill)
+  SELECT u.host,
+         LEAST({cap},
+               {cap} - coalesce(s.n, 0)
+               + CASE WHEN coalesce(s.n, 0) > 0 THEN {refill} ELSE 0 END) AS t1
+  FROM (SELECT DISTINCT host FROM unseen) u LEFT JOIN s0 s ON s.host = u.host
+),
+pos AS (
+  SELECT u.url, u.priority,
+         row_number() OVER (
+           PARTITION BY u.host ORDER BY u.priority DESC, u.url) - 1 AS p,
+         t.t1
+  FROM unseen u JOIN tok1 t ON t.host = u.host
+),
+drain AS (
+  SELECT url, priority,
+         CASE WHEN p < t1 THEN 1
+              ELSE 1 + CAST(ceil((p - t1 + 1)
+                                 / CAST({refill} AS DOUBLE)) AS INTEGER)
+         END AS round
+  FROM pos
+),
+rlog AS (
+  SELECT CAST(round AS INTEGER) AS round,
+         CAST(row_number() OVER (
+           PARTITION BY round ORDER BY priority DESC, url) - 1 AS BIGINT) AS rank,
+         url, CAST(priority AS DOUBLE) AS priority, CAST(1 AS INTEGER) AS depth
+  FROM drain
+  WHERE round < {max_rounds}
+)
+SELECT * FROM r0
+UNION ALL
+SELECT * FROM rlog
+"""
 
 
 def ecc_crawl_log_unbounded(sf_dir: str):
@@ -2075,6 +2204,7 @@ def _build_oracle_sql() -> Dict[str, str]:
         "ecc_contexts_all": sql_ecc_contexts_all(),
         "ecc_contexts_sentences_all": sql_ecc_contexts_sentences_all(),
         "ecc_context_stats_all": sql_ecc_context_stats_all(),
+        "ecc_crawl_log": sql_ecc_crawl_log(),
         "ecc_crawl_log_unbounded": sql_ecc_crawl_log_unbounded(),
         "q_media_frames_md5": sql_q_media_frames_md5(),
         "q_media_decode_md5": sql_q_media_decode_md5(),
