@@ -55,9 +55,16 @@ class PhraseMatcher:
                 else:
                     bucket.append((length, {p}))
 
-    def __call__(self, tokens: Sequence[Token]) -> List[Tuple[int, int]]:
-        """Return all (start, end) token spans, sorted by (start, end)."""
-        texts = [t[0] for t in tokens]
+    def __call__(self, tokens: Sequence) -> List[Tuple[int, int]]:
+        """Return all (start, end) token spans, sorted by (start, end).
+
+        Accepts either Token triples or bare token-text strings (the
+        hot path passes ``tokenize_arrays`` texts directly — no triple
+        construction)."""
+        if tokens and isinstance(tokens[0], str):
+            texts = tokens
+        else:
+            texts = [t[0] for t in tokens]
         n = len(texts)
         first = self._first
         out: List[Tuple[int, int]] = []

@@ -53,6 +53,7 @@ import time
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
@@ -211,11 +212,12 @@ class FetchExtract:
                 b.add_doc(url, spans, i, self.title_to_eid, self.eid_to_label)
                 lo = int(spans.offs[i])
                 hi = int(spans.offs[i + 1])
-                kind, ref = spans.kind, spans.ref
-                for j in range(lo, hi):
-                    if kind[j] == "link" and ref[j]:
-                        ol_target.append(ref[j])
-                        ol_entity.append(ref[j] in self.title_to_eid)
+                ref = spans.ref
+                for j in (lo + np.nonzero(spans.is_link[lo:hi])[0]).tolist():
+                    r = ref[j]
+                    if r:
+                        ol_target.append(r)
+                        ol_entity.append(r in self.title_to_eid)
                 fetched.append(True)
             ol_off.append(len(ol_target))
         t = b.table()
