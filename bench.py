@@ -291,8 +291,14 @@ def run_scaling() -> None:
     # even embarrassingly-parallel python at ~0.6-0.8 efficiency for
     # 8->32 (see BASELINE.md hardware-ceiling measurements); the 2->8
     # pair is the cleaner proxy for adding NODES (each with its own
-    # memory bus) to a fixed-frequency cluster.
-    results = {n: run(n) for n in (2, 8, 32)}
+    # memory bus) to a fixed-frequency cluster.  A settle sleep
+    # between legs lets the previous Ray session's workers/raylet
+    # fully exit — back-to-back legs measurably contaminate each
+    # other on this box.
+    results = {}
+    for n in (2, 8, 32):
+        time.sleep(15)
+        results[n] = run(n)
     tp = {n: r["urls_fetched"] / r["queries"]["crawl"] for n, r in results.items()}
     eff_2_8 = (tp[8] / tp[2]) / 4
     eff_8_32 = (tp[32] / tp[8]) / 4

@@ -46,6 +46,7 @@ tests/crawl_sim reproduces):
 
 from __future__ import annotations
 
+import glob as _glob
 import hashlib
 import os
 import shutil
@@ -562,6 +563,21 @@ def _make_bucket_scheduler(
 
 
 @ray.remote(num_cpus=1)
+def _read_bucket_dir_task(bdir: str, entity_bonus: float) -> pa.Table:
+    """Read one frontier bucket dir and combine its candidate rows
+    (complete per bucket: a url's copies/partials share its bucket).
+    Used for the driver-regime read-back so the driver never loops
+    over hundreds of small files serially — it gets num_buckets
+    already-combined tables back in parallel (FRONTIER_SCHEMA)."""
+    store = get_store()
+    files = store.list_tables(os.path.join(bdir, "*"))
+    if not files:
+        return _EMPTY_FRONTIER
+    tbls = [store.read_table(f) for f in files]
+    return _combine_candidates(pa.concat_tables(tbls), entity_bonus)
+
+
+@ray.remote(num_cpus=1)
 def _presplit_task(
     bucket: int,
     slice_id: int,
@@ -694,8 +710,6 @@ def _schedule_round_bucketed(
     (BENCH r2: crawl_bucketed 1.39× the driver path), while task
     submission is ~ms.  Each task loops its chunk of buckets through
     the same scheduler body, so semantics are unchanged."""
-    import glob as _glob
-
     bucket_ids = sorted(
         int(os.path.basename(p).split("=", 1)[1])
         for p in _glob.glob(os.path.join(in_dir, "bucket=*"))
@@ -1046,17 +1060,21 @@ def crawl(
         else:
             if frontier_tbl is None:
                 # regime transition: the bucketed frontier shrank under
-                # the threshold — load + combine it driver-side (bounded
-                # by driver_threshold rows by definition)
-                store = get_store()
-                files = store.list_tables(
-                    os.path.join(frontier_dir, "bucket=*", "*")
+                # the threshold — load + combine it with one parallel
+                # task per bucket dir (bounded by driver_threshold rows
+                # by definition; the driver never loops files serially)
+                bdirs = sorted(_glob.glob(os.path.join(frontier_dir, "bucket=*")))
+                parts = ray.get(
+                    [
+                        _read_bucket_dir_task.remote(d, config.entity_bonus)
+                        for d in bdirs
+                    ]
+                )
+                merged = (
+                    pa.concat_tables(parts) if parts else _EMPTY_FRONTIER
                 )
                 frontier_tbl = _combine_candidates(
-                    pa.concat_tables([store.read_table(f) for f in files])
-                    if files
-                    else CANDIDATE_SCHEMA.empty_table(),
-                    config.entity_bonus,
+                    _as_candidates(merged), config.entity_bonus
                 )
                 loaded_dir = frontier_dir  # consumed; removable post-ckpt
                 frontier_dir = None
@@ -1258,24 +1276,32 @@ def crawl(
                 frontier_rows = est
             else:
                 # bounded read-back: at most driver_threshold partial
-                # rows by the check above
-                store = get_store()
-                files = store.list_tables(os.path.join(next_dir, "bucket=*", "*"))
-                link_cand = (
-                    pa.concat_tables([store.read_table(f) for f in files])
-                    if files
-                    else CANDIDATE_SCHEMA.empty_table()
+                # rows by the check above; one parallel task per bucket
+                # dir (the fetch tasks wrote ~one file per touched
+                # bucket per batch — a serial driver loop over those
+                # small files measured ~1s/round at 32 cpus)
+                bdirs = sorted(_glob.glob(os.path.join(next_dir, "bucket=*")))
+                parts = ray.get(
+                    [
+                        _read_bucket_dir_task.remote(d, config.entity_bonus)
+                        for d in bdirs
+                    ]
                 )
-                cand_parts = [link_cand]
+                cand_parts = [
+                    _as_candidates(p) for p in parts if p.num_rows
+                ]
                 if deferred_tbl.num_rows:
                     cand_parts.append(_as_candidates(deferred_tbl).cast(CANDIDATE_SCHEMA))
                 frontier_tbl = _combine_candidates(
-                    pa.concat_tables(cand_parts, promote_options="default"),
+                    pa.concat_tables(cand_parts, promote_options="default")
+                    if cand_parts
+                    else CANDIDATE_SCHEMA.empty_table(),
                     config.entity_bonus,
                 )
                 shutil.rmtree(next_dir, ignore_errors=True)
                 frontier_dir = None
                 frontier_rows = frontier_tbl.num_rows
+        _mark("frontier")
 
         metrics["urls_fetched"] += fetch_tbl.num_rows
         metrics["pages_extracted"] += n_fetched
