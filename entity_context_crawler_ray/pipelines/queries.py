@@ -1075,7 +1075,7 @@ pat AS (
 ),
 win AS (
   -- the ±{size} SQLite-SUBSTR-clamped window around each match
-  SELECT m.doc_id AS page_title, m.entity_id, m.mention,
+  SELECT m.doc_id AS page_title, m.entity_id, m.mention, m.start_char,
          substr(m.clean_text,
                 greatest(m.start_char + 1 - {size}, 1),
                 least((m.start_char + 1 - greatest(m.start_char + 1 - {size}, 1))
@@ -1142,10 +1142,30 @@ WHERE EXISTS (SELECT 1 FROM kept k WHERE k.ctx_id = c.ctx_id)
 """
 
 
-def sql_ecc_contexts_all() -> str:
+def _sql_sampled_win(seed: int, k: int) -> str:
+    """md5-twin of the per-entity ≤K context sample (WindowMatches with
+    ``rank_hash='md5'``): rank = top 64 bits of the md5 of the
+    chr(31)-joined (tag, seed, entity, page, start_char, mention) key,
+    keep the K smallest per entity.  Identical sampling algebra to the
+    production blake2b path — only the hash family differs (the same
+    twin pattern as minhash_bands_md5)."""
+    return rf"""
+, winsamp AS (
+  SELECT * FROM (
+    SELECT page_title, entity_id, mention, start_char, wtext,
+           CAST(('0x' || substr(md5(concat_ws(chr(31), 'ctx-sample',
+                 CAST({seed} AS VARCHAR), entity_id, page_title,
+                 CAST(start_char AS VARCHAR), mention)), 1, 16)) AS UBIGINT) AS rnk
+    FROM win)
+  QUALIFY row_number() OVER (PARTITION BY entity_id ORDER BY rnk) <= {k}
+)
+"""
+
+
+def _sql_ctx_token(src: str) -> str:
     # token-mode crop: drop first + last token, rejoin with ' ';
     # empty crops filtered
-    ctx = rf"""
+    return rf"""
 , ctx AS (
   SELECT row_number() OVER () AS ctx_id, page_title, entity_id, mention, context
   FROM (
@@ -1153,14 +1173,17 @@ def sql_ecc_contexts_all() -> str:
            CASE WHEN len(toks) > 2
                 THEN array_to_string(toks[2:len(toks)-1], ' ')
                 ELSE '' END AS context
-    FROM (SELECT *, regexp_extract_all(wtext, '{TOKEN_PATTERN}') AS toks FROM win)
+    FROM (SELECT *, regexp_extract_all(wtext, '{TOKEN_PATTERN}') AS toks FROM {src})
   ) WHERE context <> ''
 )
 """
+
+
+def sql_ecc_contexts_all() -> str:
     return (
         _ecc_oracle_prefix()
         + _sql_ecc_contexts_head(100)
-        + ctx
+        + _sql_ctx_token("win")
         + _SQL_ECC_CONTEXTS_TAIL
     )
 
@@ -1179,13 +1202,13 @@ def ecc_contexts_sentences_all(sf_dir: str):
     )
 
 
-def sql_ecc_contexts_sentences_all() -> str:
+def _sql_ctx_sentences(src: str) -> str:
     # sentence-mode crop (functions/text.py::crop_sentences_mode):
     # split_sentences -> re-split on \n -> strip -> drop empties ->
     # keep uppercase starts -> drop the last (possibly incomplete)
     # sentence -> keep sentences where the matcher fires -> join '\n'
-    ctx = r"""
-, win2 AS (SELECT row_number() OVER () AS wid, * FROM win),
+    return rf"""
+, win2 AS (SELECT row_number() OVER () AS wid, * FROM {src}),
 numsW AS (
   SELECT CAST(unnest(range(1, (SELECT coalesce(max(length(wtext)), 0) + 2 FROM win2))) AS BIGINT) AS off
 ),
@@ -1230,10 +1253,13 @@ ctx AS (
   )
 )
 """
+
+
+def sql_ecc_contexts_sentences_all() -> str:
     return (
         _ecc_oracle_prefix()
         + _sql_ecc_contexts_head(150)
-        + ctx
+        + _sql_ctx_sentences("win")
         + _SQL_ECC_CONTEXTS_TAIL
     )
 
@@ -1262,6 +1288,92 @@ def sql_ecc_context_stats_all() -> str:
 )
 SELECT entity_label, CAST(count(*) AS BIGINT) AS n_contexts
 FROM contexts_all GROUP BY entity_label
+"""
+    )
+
+
+def ecc_contexts_md5(sf_dir: str):
+    """Stage 2 SAMPLED (limit_contexts=10) with the md5-twin rank:
+    the full sampled operator chain — per-entity ≤K smallest-rank
+    window sample (O2, reference cmd/build_contexts_db.py:210-212) →
+    crop (token mode) → strict-span pruning → masking → rid lookup —
+    oracle-checked end to end.  The production path (``ecc_contexts``)
+    ranks by blake2b, which DuckDB cannot compute, so it stays a
+    rows-only check; this twin differs ONLY in the hash family
+    (the minhash_bands_md5 pattern)."""
+    combined, ents = _combined(sf_dir)
+    return build_contexts(
+        combined,
+        ents,
+        docsrc.id_map_table(sf_dir),
+        _mentions_pairs(combined),
+        context_size=100,
+        limit_contexts=10,
+        rank_hash="md5",
+    )
+
+
+def sql_ecc_contexts_md5() -> str:
+    return (
+        _ecc_oracle_prefix()
+        + _sql_ecc_contexts_head(100)
+        + _sql_sampled_win(42, 10)
+        + _sql_ctx_token("winsamp")
+        + _SQL_ECC_CONTEXTS_TAIL
+    )
+
+
+def ecc_contexts_sentences_md5(sf_dir: str):
+    """Stage 2 SAMPLED, sentence-mode crop, md5-twin rank (see
+    ecc_contexts_md5)."""
+    combined, ents = _combined(sf_dir)
+    return build_contexts(
+        combined,
+        ents,
+        docsrc.id_map_table(sf_dir),
+        _mentions_pairs(combined),
+        context_size=150,
+        crop_sentences=True,
+        limit_contexts=10,
+        rank_hash="md5",
+    )
+
+
+def sql_ecc_contexts_sentences_md5() -> str:
+    return (
+        _ecc_oracle_prefix()
+        + _sql_ecc_contexts_head(150)
+        + _sql_sampled_win(42, 10)
+        + _sql_ctx_sentences("winsamp")
+        + _SQL_ECC_CONTEXTS_TAIL
+    )
+
+
+def ecc_context_stats_md5(sf_dir: str):
+    """Per-entity context counts over the SAMPLED (md5-twin) contexts
+    — the oracle-able variant of ``ecc_context_stats``'s CSV sidecar
+    semantics including the ≤K cap (see ecc_contexts_md5)."""
+    out = context_stats(ecc_contexts_md5(sf_dir))
+
+    def cast_n(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "entity_label": t["entity_label"],
+                "n_contexts": pc.cast(t["n_contexts"], pa.int64()),
+            }
+        )
+
+    return out.map_batches(cast_n, batch_format="pyarrow")
+
+
+def sql_ecc_context_stats_md5() -> str:
+    return (
+        "WITH contexts_md5 AS (\n"
+        + sql_ecc_contexts_md5()
+        + """
+)
+SELECT entity_label, CAST(count(*) AS BIGINT) AS n_contexts
+FROM contexts_md5 GROUP BY entity_label
 """
     )
 
@@ -2129,6 +2241,9 @@ def queries() -> Dict[str, Callable]:
         "ecc_contexts_sentences_all": ecc_contexts_sentences_all,
         "ecc_context_stats": ecc_context_stats,
         "ecc_context_stats_all": ecc_context_stats_all,
+        "ecc_contexts_md5": ecc_contexts_md5,
+        "ecc_contexts_sentences_md5": ecc_contexts_sentences_md5,
+        "ecc_context_stats_md5": ecc_context_stats_md5,
         "ecc_crawl_log": ecc_crawl_log,
         "ecc_crawl_log_unbounded": ecc_crawl_log_unbounded,
         # sketches / ANN (md5-twinned, oracle-checked)
@@ -2204,6 +2319,9 @@ def _build_oracle_sql() -> Dict[str, str]:
         "ecc_contexts_all": sql_ecc_contexts_all(),
         "ecc_contexts_sentences_all": sql_ecc_contexts_sentences_all(),
         "ecc_context_stats_all": sql_ecc_context_stats_all(),
+        "ecc_contexts_md5": sql_ecc_contexts_md5(),
+        "ecc_contexts_sentences_md5": sql_ecc_contexts_sentences_md5(),
+        "ecc_context_stats_md5": sql_ecc_context_stats_md5(),
         "ecc_crawl_log": sql_ecc_crawl_log(),
         "ecc_crawl_log_unbounded": sql_ecc_crawl_log_unbounded(),
         "q_media_frames_md5": sql_q_media_frames_md5(),
