@@ -2155,6 +2155,74 @@ def q_media_embed(sf_dir: str):
     )
 
 
+def q_media_embed_md5(sf_dir: str):
+    """decode (md5-seeded geometry, REAL parsers) -> resize -> embed
+    with input-payload checksums: the oracle predicts, in closed form
+    from the gradient generator, the exact byte count / byte sum /
+    position-weighted byte sum of the pixel buffer the model consumed
+    (position-weighting pins row order AND the BMP BGR->RGB swap, not
+    just the byte multiset), plus the embedding dim.  At these
+    geometries (w,h in [8,32]) resize(max_side=32) is exactly the
+    identity — scale is 1.0 with no float rounding — so the checksums
+    equal the decoded raster's.  The float embedding itself is dropped
+    (a numpy RandomState projection has no SQL twin; its input being
+    byte-exact is the strong check)."""
+    docs_ds = docsrc.read_docs(sf_dir)
+    decoded = media.resize_media(media.decode_media(docs_ds, seed_hash="md5"))
+    emb = media.embed_media(decoded, dim=16, emit_checksums=True)
+    return emb.map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "media_ref": t["media_ref"],
+                "dim": pa.array(
+                    [len(e) for e in t["embedding"].to_pylist()], pa.int64()
+                ),
+                "n_bytes": t["n_bytes"],
+                "px_sum": t["px_sum"],
+                "px_wsum": t["px_wsum"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def sql_q_media_embed_md5() -> str:
+    return _ecc_oracle_prefix() + """
+, m AS (
+  SELECT doc_id, media_ref,
+         CAST(('0x' || substr(md5('media-raw' || media_ref), 1, 16)) AS UBIGINT) AS h
+  FROM spans WHERE kind = 'media'
+),
+g AS (
+  SELECT doc_id, media_ref,
+         CAST(8 + h % 25 AS BIGINT) AS w,
+         CAST(8 + (h // 256) % 25 AS BIGINT) AS ht,
+         CAST(h % 251 AS BIGINT) AS s
+  FROM m
+),
+px AS (
+  -- the synthetic gradient raster, pixel by pixel: base channel
+  -- b(x,y) = (7x + 13y + seed) % 256, channels (b, 3b+17, 5b+29)
+  SELECT g.doc_id, g.media_ref, g.w, g.ht,
+         CAST(yy.y AS BIGINT) AS y, CAST(xx.x AS BIGINT) AS x,
+         (7 * CAST(xx.x AS BIGINT) + 13 * CAST(yy.y AS BIGINT) + g.s) % 256 AS b
+  FROM g
+  JOIN (SELECT unnest(range(0, 32)) AS y) yy ON CAST(yy.y AS BIGINT) < g.ht
+  JOIN (SELECT unnest(range(0, 32)) AS x) xx ON CAST(xx.x AS BIGINT) < g.w
+)
+SELECT doc_id, media_ref,
+       CAST(16 AS BIGINT) AS dim,
+       CAST(any_value(w) * any_value(ht) * 3 AS BIGINT) AS n_bytes,
+       CAST(sum(b + (3*b + 17) % 256 + (5*b + 29) % 256) AS BIGINT) AS px_sum,
+       CAST(sum(((y*w + x)*3 + 0) * b
+              + ((y*w + x)*3 + 1) * ((3*b + 17) % 256)
+              + ((y*w + x)*3 + 2) * ((5*b + 29) % 256)) AS BIGINT) AS px_wsum
+FROM px
+GROUP BY doc_id, media_ref
+"""
+
+
 def q_media_frames(sf_dir: str):
     """Video-style frame sampling over the media spans."""
     docs_ds = docsrc.read_docs(sf_dir)
@@ -2257,6 +2325,7 @@ def queries() -> Dict[str, Callable]:
         "q_embedding_neardup_lsh": q_embedding_neardup_lsh,
         "q_media_decode": q_media_decode,
         "q_media_embed": q_media_embed,
+        "q_media_embed_md5": q_media_embed_md5,
         "q_media_frames": q_media_frames,
         "q_media_frames_md5": q_media_frames_md5,
         "q_media_decode_md5": q_media_decode_md5,
@@ -2326,4 +2395,5 @@ def _build_oracle_sql() -> Dict[str, str]:
         "ecc_crawl_log_unbounded": sql_ecc_crawl_log_unbounded(),
         "q_media_frames_md5": sql_q_media_frames_md5(),
         "q_media_decode_md5": sql_q_media_decode_md5(),
+        "q_media_embed_md5": sql_q_media_embed_md5(),
     }

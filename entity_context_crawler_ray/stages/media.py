@@ -386,27 +386,47 @@ class MediaEmbedder:
     swap the histogram for pixel tensors and the matmul for the
     model's forward)."""
 
-    def __init__(self, dim: int = 16, seed: int = 42):
+    def __init__(self, dim: int = 16, seed: int = 42, emit_checksums: bool = False):
         rng = np.random.RandomState(seed)
         self.proj = rng.standard_normal((256, dim)).astype(np.float64)
+        # emit_checksums appends integer provenance stats of the INPUT
+        # payload (byte count / sum / position-weighted sum) — the
+        # oracle-checkable fingerprint of what the model actually saw
+        # (q_media_embed_md5 predicts them in closed form)
+        self.emit_checksums = emit_checksums
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         feats = np.zeros((batch.num_rows, 256), dtype=np.float64)
+        n_bytes = np.zeros(batch.num_rows, dtype=np.int64)
+        px_sum = np.zeros(batch.num_rows, dtype=np.int64)
+        px_wsum = np.zeros(batch.num_rows, dtype=np.int64)
         for i, p in enumerate(batch["payload"].to_pylist()):
             if p:
-                feats[i] = np.bincount(
-                    np.frombuffer(p, dtype=np.uint8), minlength=256
-                )
+                arr = np.frombuffer(p, dtype=np.uint8)
+                feats[i] = np.bincount(arr, minlength=256)
+                if self.emit_checksums:
+                    a64 = arr.astype(np.int64)
+                    n_bytes[i] = len(arr)
+                    px_sum[i] = int(a64.sum())
+                    px_wsum[i] = int((np.arange(len(arr), dtype=np.int64) * a64).sum())
         emb = feats @ self.proj  # one matmul per batch
         norms = np.maximum(np.linalg.norm(emb, axis=1, keepdims=True), 1e-12)
         emb = (emb / norms).astype(np.float32)
+        cols = [
+            batch["doc_id"],
+            batch["media_ref"],
+            pa.array([row.tolist() for row in emb], pa.list_(pa.float32())),
+        ]
+        if not self.emit_checksums:
+            return pa.Table.from_arrays(cols, schema=EMBED_SCHEMA)
         return pa.Table.from_arrays(
-            [
-                batch["doc_id"],
-                batch["media_ref"],
-                pa.array([row.tolist() for row in emb], pa.list_(pa.float32())),
+            cols
+            + [
+                pa.array(n_bytes, pa.int64()),
+                pa.array(px_sum, pa.int64()),
+                pa.array(px_wsum, pa.int64()),
             ],
-            schema=EMBED_SCHEMA,
+            names=list(EMBED_SCHEMA.names) + ["n_bytes", "px_sum", "px_wsum"],
         )
 
 
@@ -415,11 +435,12 @@ def embed_media(
     dim: int = 16,
     concurrency: int | tuple = (1, 4),
     batch_size: int = 64,
+    emit_checksums: bool = False,
 ) -> ray.data.Dataset:
     """Decoded media -> unit-norm embeddings (actor-pool inference)."""
     return decoded.map_batches(
         MediaEmbedder,
-        fn_constructor_kwargs={"dim": dim},
+        fn_constructor_kwargs={"dim": dim, "emit_checksums": emit_checksums},
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,

@@ -300,7 +300,7 @@ def test_driver_entry_contract():
 
     qs, orc = mod.queries(), mod.oracle_sql()
     assert set(orc) <= set(qs)
-    assert len(orc) >= 45  # oracle coverage floor (round 4: 45)
+    assert len(orc) >= 46  # oracle coverage floor (round 4: 46)
 
     res = mod.entry()
     df = res.to_pandas() if hasattr(res, "to_pandas") else res
