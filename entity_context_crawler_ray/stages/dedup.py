@@ -350,6 +350,7 @@ def verify_jaccard_pairs(
     threshold: float,
     shingle_n: int = 3,
     num_partitions: int | None = None,
+    broadcast_threshold: int = 10_000,
 ) -> ray.data.Dataset:
     """Verify candidate pairs by true Jaccard — fully distributed.
 
@@ -361,6 +362,14 @@ def verify_jaccard_pairs(
        joins drop).
     3. Two hash joins attach both texts to each pair.
     4. Per-batch shingling + Jaccard, filter ≥ threshold.
+
+    When the candidate count is ≤ ``broadcast_threshold``, step 3 is
+    replaced by a broadcast of the bloom-pruned texts (≈ 2×pairs rows,
+    bounded by the threshold) consumed by a single map over the pair
+    rows: each native hash join costs ~2 s in aggregator-actor fixed
+    overhead regardless of size, which dominates end-to-end wall at
+    small candidate counts.  Above the threshold the join path runs —
+    the same small-side-bounded regime split as ``pair_dedup='auto'``.
     """
     from ..state.bloom import BloomShard
 
@@ -377,7 +386,8 @@ def verify_jaccard_pairs(
             "jaccard": pa.array([], pa.float64()),
         }
     )
-    if pairs.count() == 0:
+    n_pairs = pairs.count()
+    if n_pairs == 0:
         return ray.data.from_arrow(empty)
 
     def batch_bloom(t: pa.Table) -> pa.Table:
@@ -412,6 +422,48 @@ def verify_jaccard_pairs(
         .map_batches(filt, batch_format="pyarrow")
         .materialize()
     )
+
+    if n_pairs <= broadcast_threshold:
+        # bounded by the threshold: the bloom-pruned docs are ≈2×pairs
+        # rows (+ negligible fp tail), so ship ONE text lookup through
+        # the object store and verify with a single vectorized map —
+        # no join exchange, no aggregator actors
+        docs_tbl = pa.concat_tables(
+            ray.get(docs.to_arrow_refs()), promote_options="default"
+        )
+        lookup_ref = ray.put(
+            dict(
+                zip(docs_tbl["doc_id"].to_pylist(), docs_tbl["text"].to_pylist())
+            )
+        )
+
+        def score_broadcast(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return empty
+            lk = ray.get(lookup_ref)
+            sims, keep = [], []
+            for x, y in zip(t["a"].to_pylist(), t["b"].to_pylist()):
+                ta, tb = lk.get(x), lk.get(y)
+                if ta is None or tb is None:  # bloom fp partner — drop
+                    keep.append(False)
+                    sims.append(0.0)
+                    continue
+                keep.append(True)
+                sims.append(
+                    jaccard(
+                        set(word_shingles(ta, shingle_n)),
+                        set(word_shingles(tb, shingle_n)),
+                    )
+                )
+            out = pa.table(
+                {"a": t["a"], "b": t["b"], "jaccard": pa.array(sims, pa.float64())}
+            ).filter(pa.array(keep, pa.bool_()))
+            return out.filter(
+                pc.greater_equal(out["jaccard"], pa.scalar(float(threshold)))
+            )
+
+        return pairs.map_batches(score_broadcast, batch_format="pyarrow")
+
     with_a = pairs.join(
         docs, "inner", num_partitions, on=("a",), right_on=("doc_id",)
     ).map_batches(
