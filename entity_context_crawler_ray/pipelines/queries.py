@@ -2261,6 +2261,124 @@ FROM f
 
 
 # ---------------------------------------------------------------------------
+# round-4 additions: BPE-ish token counting, anti-join, sliding range
+# window, TF-IDF (oracle-checked)
+
+
+def q_token_bpe(sf_dir: str):
+    """Per-doc BPE-ish pre-tokenizer token count (the SURVEY's
+    'token counting: whitespace + a BPE-ish regex' bullet): GPT-2's
+    released pre-tokenizer pattern restricted to RE2-compatible
+    syntax, so DuckDB tokenizes identically (both engines are
+    leftmost-first)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(textstats.bpe_token_count, batch_format="pyarrow")
+
+
+_BPE_SQL_PATTERN = textstats.BPE_PATTERN.replace("'", "''")
+SQL_TOKEN_BPE = rf"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{_BPE_SQL_PATTERN}')) AS BIGINT)
+         AS n_bpe_tokens
+FROM documents
+"""
+
+
+def q_anti_join(sf_dir: str):
+    """Customers with no order above 400k, via the explicit
+    partitioned ANTI join (neither side broadcast — the right side
+    ships keys only, so this is the shape that survives two
+    corpus-sized inputs; the price filter is pushed before the
+    exchange)."""
+    customer = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def big(t: pa.Table) -> pa.Table:
+        return t.filter(
+            pc.greater(t["o_totalprice"], pa.scalar(400000.0))
+        ).select(["o_custkey"])
+
+    big_orders = orders.map_batches(big, batch_format="pyarrow")
+    return relational.anti_join_bucketed(
+        customer, big_orders, on="c_custkey", right_on="o_custkey"
+    )
+
+
+SQL_ANTI_JOIN = """
+SELECT c_custkey, c_name
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+"""
+
+
+def q_events_sliding(sf_dir: str):
+    """Per-event 1-hour sliding RANGE window per user: count + exact
+    cents-sum of the user's events in [ts - 1h, ts], boundary and
+    ts-peer inclusive (SQL RANGE semantics)."""
+    out = windows.sliding_range_agg(
+        _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"]),
+        window_s=3600,
+    )
+
+    def cast_cols(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": pc.cast(t["event_id"], pa.int64()),
+                "user_id": pc.cast(t["user_id"], pa.int64()),
+                "n_win": pc.cast(t["n_win"], pa.int64()),
+                "sum_cents_win": pc.cast(t["sum_cents_win"], pa.int64()),
+            }
+        )
+
+    return out.map_batches(cast_cols, batch_format="pyarrow")
+
+
+SQL_EVENTS_SLIDING = """
+SELECT event_id, user_id,
+       CAST(count(*) OVER w AS BIGINT) AS n_win,
+       CAST(sum(CAST(round(value*100) AS BIGINT)) OVER w AS BIGINT)
+         AS sum_cents_win
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 3600 SECOND PRECEDING
+                       AND CURRENT ROW)
+"""
+
+
+def q_tfidf(sf_dir: str):
+    """Per-doc top-5 terms by smooth TF-IDF (sklearn's
+    ``tf * (ln((N+1)/(df+1)) + 1)``), ties by word asc.  The idf
+    expression tree is written identically in SQL so the double
+    hashes bit-match (one division, one ln, one add, one multiply —
+    both engines call the same libm on this box)."""
+    return textstats.tfidf_topk(_read(sf_dir, "documents", ["doc_id", "text"]), k=5)
+
+
+SQL_TFIDF = """
+WITH w AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS word
+  FROM documents
+),
+tf AS (SELECT doc_id, word, count(*) AS tf FROM w GROUP BY doc_id, word),
+df AS (SELECT word, count(DISTINCT doc_id) AS df FROM w GROUP BY word),
+n AS (SELECT count(*) AS n FROM documents),
+s AS (
+  SELECT tf.doc_id, tf.word, tf.tf, df.df,
+         tf.tf * (ln((n.n + 1.0) / (df.df + 1.0)) + 1.0) AS tfidf,
+         row_number() OVER (
+           PARTITION BY tf.doc_id
+           ORDER BY tf.tf * (ln((n.n + 1.0) / (df.df + 1.0)) + 1.0) DESC,
+                    tf.word
+         ) AS rk
+  FROM tf JOIN df USING (word) CROSS JOIN n
+)
+SELECT doc_id, word, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df, tfidf
+FROM s WHERE rk <= 5
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 
 
@@ -2292,6 +2410,10 @@ def queries() -> Dict[str, Callable]:
         "q_events_hourly": q_events_hourly,
         "q_sessions": q_sessions,
         # custom operators (oracle-checked)
+        "q_token_bpe": q_token_bpe,
+        "q_anti_join": q_anti_join,
+        "q_events_sliding": q_events_sliding,
+        "q_tfidf": q_tfidf,
         "q_asof_join": q_asof_join,
         "q_redact": q_redact,
         "q_term_df": q_term_df,
@@ -2369,6 +2491,10 @@ def _build_oracle_sql() -> Dict[str, str]:
         "q_simhash": SQL_SIMHASH,
         "q_minhash_bands": SQL_MINHASH_BANDS,
         "q_knn_ivf": SQL_KNN_IVF,
+        "q_token_bpe": SQL_TOKEN_BPE,
+        "q_anti_join": SQL_ANTI_JOIN,
+        "q_events_sliding": SQL_EVENTS_SLIDING,
+        "q_tfidf": SQL_TFIDF,
         "q_asof_join": SQL_ASOF_JOIN,
         "q_redact": SQL_REDACT,
         "q_term_df": SQL_TERM_DF,

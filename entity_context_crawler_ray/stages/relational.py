@@ -127,6 +127,77 @@ def hash_join_bucketed(
     )
 
 
+def anti_join_bucketed(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    on: str,
+    right_on: Optional[str] = None,
+    num_buckets: int = 16,
+) -> ray.data.Dataset:
+    """Left ANTI join (rows of ``left`` whose key has no match in
+    ``right``) as an explicit partitioned exchange: the right side is
+    projected to its key column only (the probe needs nothing else, so
+    the shuffle moves keys, not rows), both sides bucket on
+    hash(key) % B, and each bucket group emits the left rows whose key
+    is absent from the bucket's right-key set.  Scale-honest — neither
+    side is broadcast, so this works when BOTH sides are corpus-sized
+    (the broadcast variant ``broadcast_semi_join`` with a negated mask
+    is the small-right shortcut)."""
+    right_on = right_on or on
+    l_schema = left.schema()
+    l_names = list(l_schema.names)
+
+    def _arrow_type(typ) -> pa.DataType:
+        if isinstance(typ, pa.DataType):
+            return typ
+        try:
+            return pa.from_numpy_dtype(typ)
+        except (pa.ArrowNotImplementedError, TypeError):
+            return pa.string()
+
+    l_types = {n: _arrow_type(t) for n, t in zip(l_names, l_schema.types)}
+
+    def tag_left(t: pa.Table) -> pa.Table:
+        key = t[on]
+        bucket = pa.array(
+            (
+                pd.util.hash_pandas_object(key.to_pandas(), index=False).to_numpy()
+                % num_buckets
+            ).astype("int32"),
+            pa.int32(),
+        )
+        return t.append_column("__bucket", bucket).append_column(
+            "__side", pa.array(["l"] * t.num_rows)
+        )
+
+    def tag_right(t: pa.Table) -> pa.Table:
+        # key column only, renamed to the left key, null-padded schema
+        key = t[right_on]
+        n = t.num_rows
+        cols = {}
+        for name in l_names:
+            cols[name] = key if name == on else pa.nulls(n, l_types[name])
+        cols["__bucket"] = pa.array(
+            (
+                pd.util.hash_pandas_object(key.to_pandas(), index=False).to_numpy()
+                % num_buckets
+            ).astype("int32"),
+            pa.int32(),
+        )
+        cols["__side"] = pa.array(["r"] * n)
+        return pa.table(cols)
+
+    lt = left.map_batches(tag_left, batch_format="pyarrow")
+    rt = right.map_batches(tag_right, batch_format="pyarrow")
+
+    def anti(g: pd.DataFrame) -> pd.DataFrame:
+        rhs_keys = set(g.loc[g["__side"] == "r", on])
+        lhs = g[g["__side"] == "l"]
+        return lhs.loc[~lhs[on].isin(rhs_keys), l_names]
+
+    return lt.union(rt).groupby("__bucket").map_groups(anti, batch_format="pandas")
+
+
 def hash_join(
     left: ray.data.Dataset,
     right: ray.data.Dataset,

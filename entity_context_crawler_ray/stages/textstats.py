@@ -103,6 +103,119 @@ def fingerprint(batch: pa.Table, text_col: str = "text", shingle: int = 5) -> pa
     return out.append_column("fingerprint", pa.array(fps, pa.string()))
 
 
+# GPT-2-style pre-tokenizer (public: Radford et al. 2019, the released
+# gpt2 `pat` regex), restricted to RE2-compatible syntax (no lookahead,
+# no unicode property classes) so Python `re` and DuckDB's RE2 tokenize
+# identically — both engines use leftmost-first alternation.
+BPE_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+_BPE_RE = re.compile(BPE_PATTERN)
+
+
+def bpe_token_count(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Per-doc BPE-ish token count: the number of pre-tokenizer pieces
+    under BPE_PATTERN (a proxy for LLM token cost — real BPE merges
+    only split pieces further, so this lower-bounds the BPE count with
+    the same shape).  Compiled regex, one findall per doc."""
+    texts = batch[text_col].to_pylist()
+    n = [len(_BPE_RE.findall(t)) for t in texts]
+    out = batch.drop_columns([text_col])
+    return out.append_column("n_bpe_tokens", pa.array(n, pa.int64()))
+
+
+def tfidf_topk(
+    documents,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_vocab_broadcast: int = 5_000_000,
+):
+    """Per-doc top-``k`` terms by smooth TF-IDF
+    (``tf * (ln((N+1)/(df+1)) + 1)``, sklearn's smooth_idf form), ties
+    broken by word asc.  Two passes over ``documents``:
+
+    1. document frequency per word — map-side partial df per batch,
+       then ONE word-keyed exchange (same discipline as
+       ``term_doc_freq``); the df table is vocabulary-sized, not
+       corpus-sized, and is broadcast via ``ray.put``.
+    2. per-doc tf + scoring + per-doc top-k — pure ``map_batches``,
+       no further shuffle.
+
+    Scale guard: the broadcast df map is bounded by
+    ``max_vocab_broadcast`` distinct words; beyond that a word-keyed
+    join (explode → join df → re-group by doc) is the path, and this
+    helper raises with that instruction rather than silently
+    collecting an unbounded vocabulary on the driver."""
+    import ray
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    def partial_df(batch: pa.Table) -> pa.Table:
+        words: List[str] = []
+        for t in batch[text_col].to_pylist():
+            words.extend(set(_WORD_RE.findall(t.lower())))
+        if not words:
+            return pa.table(
+                {"word": pa.array([], pa.string()), "pdf": pa.array([], pa.int64())}
+            )
+        w = pa.table({"word": pa.array(words, pa.string())})
+        agg = w.group_by("word").aggregate([("word", "count")])
+        return pa.table(
+            {"word": agg["word"], "pdf": pc.cast(agg["word_count"], pa.int64())}
+        )
+
+    n_docs = documents.count()
+    df_ds = (
+        documents.map_batches(partial_df, batch_format="pyarrow")
+        .groupby("word")
+        .aggregate(Sum("pdf", alias_name="df"))
+    )
+    vocab = df_ds.count()
+    if vocab > max_vocab_broadcast:
+        raise ValueError(
+            f"vocabulary {vocab} exceeds max_vocab_broadcast="
+            f"{max_vocab_broadcast}; use the word-keyed join path "
+            "(explode words, join the df table on word, re-group by "
+            f"{id_col}) instead of a driver broadcast"
+        )
+    df_map = {}
+    for b in df_ds.iter_batches(batch_format="pyarrow"):
+        df_map.update(zip(b["word"].to_pylist(), b["df"].to_pylist()))
+    df_ref = ray.put(df_map)
+    import math
+
+    def score(batch: pa.Table) -> pa.Table:
+        dfm = ray.get(df_ref)
+        ids, words, tfs, dfs, scores = [], [], [], [], []
+        for doc_id, t in zip(
+            batch[id_col].to_pylist(), batch[text_col].to_pylist()
+        ):
+            tf: dict = {}
+            for w in _WORD_RE.findall(t.lower()):
+                tf[w] = tf.get(w, 0) + 1
+            scored = [
+                (c * (math.log((n_docs + 1.0) / (dfm[w] + 1.0)) + 1.0), w, c)
+                for w, c in tf.items()
+            ]
+            scored.sort(key=lambda x: (-x[0], x[1]))
+            for s, w, c in scored[:k]:
+                ids.append(doc_id)
+                words.append(w)
+                tfs.append(c)
+                dfs.append(dfm[w])
+                scores.append(s)
+        return pa.table(
+            {
+                id_col: pa.array(ids, pa.int64()),
+                "word": pa.array(words, pa.string()),
+                "tf": pa.array(tfs, pa.int64()),
+                "df": pa.array(dfs, pa.int64()),
+                "tfidf": pa.array(scores, pa.float64()),
+            }
+        )
+
+    return documents.map_batches(score, batch_format="pyarrow")
+
+
 DEFAULT_REDACT = (
     (r"[A-Za-z0-9_.+-]+@[A-Za-z0-9-]+\.[A-Za-z0-9.-]+", "<EMAIL>"),
     (r"[0-9]+", "<NUM>"),

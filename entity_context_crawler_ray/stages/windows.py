@@ -85,3 +85,59 @@ def sessionize(
     return events.select_columns([key_col, ts_col]).groupby(key_col).map_groups(
         per_key, batch_format="pandas"
     )
+
+
+def sliding_range_agg(
+    events: ray.data.Dataset,
+    window_s: int,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+) -> ray.data.Dataset:
+    """Per-EVENT sliding range window (SQL ``RANGE BETWEEN INTERVAL
+    window_s SECOND PRECEDING AND CURRENT ROW``): for every event, the
+    count and value-sum (in cents, so the sum is exact integer math)
+    of the same key's events with ts in ``[t - window_s, t]``,
+    boundary inclusive.
+
+    One key-partitioned exchange; inside each group the window is two
+    vectorized ``searchsorted`` probes over the sorted ts array plus a
+    prefix-sum — O(n log n) per key, no per-event Python loop.  Output
+    is defined per (key, ts) VALUE, not row order, so ties in ts are
+    deterministic (all peers get the full peer-inclusive window, the
+    same semantics as SQL RANGE windows)."""
+    import numpy as np
+
+    win_us = window_s * 1_000_000
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        order = np.argsort(
+            pd.to_datetime(g[ts_col]).astype("datetime64[us]").astype("int64").to_numpy(),
+            kind="stable",
+        )
+        ts = (
+            pd.to_datetime(g[ts_col])
+            .astype("datetime64[us]")
+            .astype("int64")
+            .to_numpy()[order]
+        )
+        ids = g[id_col].to_numpy()[order]
+        cents = np.rint(g[value_col].to_numpy()[order] * 100).astype(np.int64)
+        lo = np.searchsorted(ts, ts - win_us, side="left")
+        hi = np.searchsorted(ts, ts, side="right")
+        csum = np.concatenate(([0], np.cumsum(cents)))
+        return pd.DataFrame(
+            {
+                id_col: ids,
+                key_col: g[key_col].iloc[0],
+                "n_win": (hi - lo).astype(np.int64),
+                "sum_cents_win": csum[hi] - csum[lo],
+            }
+        )
+
+    return (
+        events.select_columns([id_col, key_col, ts_col, value_col])
+        .groupby(key_col)
+        .map_groups(per_key, batch_format="pandas")
+    )

@@ -517,3 +517,131 @@ def test_combined_builder_rollback_on_poison_doc():
     for k in ("clean_text", "match_count", "matches", "mentions"):
         assert rows[0][k] == rows[2][k]
     assert rows[0]["match_count"] >= 1
+
+
+def test_bpe_token_count_known_values():
+    t = pa.table(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                "Hello world",          # "Hello", " world"
+                "don't stop",           # "don", "'t", " stop"
+                "a1b2  c!?",            # "a", "1", "b", "2", "  ", "c", "!?"
+            ],
+        }
+    )
+    out = textstats.bpe_token_count(t)
+    assert out["n_bpe_tokens"].to_pylist() == [2, 3, 7]
+    # regex pieces must reassemble to the original text (the pattern
+    # partitions every string)
+    for s in t["text"].to_pylist():
+        assert "".join(textstats._BPE_RE.findall(s)) == s
+
+
+def test_anti_join_bucketed_matches_pandas():
+    left = pd.DataFrame({"k": [1, 2, 2, 3, 5], "lv": ["a", "b", "c", "d", "e"]})
+    right = pd.DataFrame({"rk": [2, 3, 3, 4], "rv": [10.0, 20.0, 30.0, 40.0]})
+    out = (
+        relational.anti_join_bucketed(
+            ray.data.from_pandas(left),
+            ray.data.from_pandas(right),
+            on="k",
+            right_on="rk",
+            num_buckets=4,
+        )
+        .to_pandas()
+        .sort_values(["k", "lv"])
+        .reset_index(drop=True)
+    )
+    expect = (
+        left[~left["k"].isin(right["rk"])]
+        .sort_values(["k", "lv"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out[expect.columns], expect)
+    # empty right side: everything survives
+    out2 = relational.anti_join_bucketed(
+        ray.data.from_pandas(left),
+        ray.data.from_pandas(right[right["rk"] < 0]),
+        on="k",
+        right_on="rk",
+    ).to_pandas()
+    assert len(out2) == len(left)
+
+
+def test_sliding_range_agg_matches_bruteforce():
+    rng = np.random.default_rng(7)
+    n = 200
+    base = pd.Timestamp("2024-01-01")
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(n),
+            "user_id": rng.integers(0, 5, n),
+            "ts": base + pd.to_timedelta(rng.integers(0, 7200, n), unit="s"),
+            "value": np.round(rng.uniform(0, 100, n), 2),
+        }
+    )
+    out = (
+        windows.sliding_range_agg(ray.data.from_pandas(df), window_s=600)
+        .to_pandas()
+        .set_index("event_id")
+        .sort_index()
+    )
+    cents = np.rint(df["value"].to_numpy() * 100).astype(np.int64)
+    for i in range(n):
+        mask = (
+            (df["user_id"] == df["user_id"][i])
+            & (df["ts"] >= df["ts"][i] - pd.Timedelta(seconds=600))
+            & (df["ts"] <= df["ts"][i])
+        )
+        assert out.loc[i, "n_win"] == int(mask.sum())
+        assert out.loc[i, "sum_cents_win"] == int(cents[mask.to_numpy()].sum())
+
+
+def test_tfidf_topk_matches_bruteforce():
+    import math
+
+    rows = [
+        {"doc_id": 0, "text": "apple banana apple cherry"},
+        {"doc_id": 1, "text": "banana cherry cherry date egg"},
+        {"doc_id": 2, "text": "apple apple apple fig"},
+        {"doc_id": 3, "text": "grape"},
+    ]
+    out = (
+        textstats.tfidf_topk(ray.data.from_items(rows), k=2)
+        .to_pandas()
+        .sort_values(["doc_id", "word"])
+        .reset_index(drop=True)
+    )
+    # brute-force expectation
+    n_docs = len(rows)
+    docs = {r["doc_id"]: r["text"].split() for r in rows}
+    dfc: dict = {}
+    for words in docs.values():
+        for w in set(words):
+            dfc[w] = dfc.get(w, 0) + 1
+    expect_rows = []
+    for doc_id, words in docs.items():
+        tf: dict = {}
+        for w in words:
+            tf[w] = tf.get(w, 0) + 1
+        scored = sorted(
+            (
+                (c * (math.log((n_docs + 1.0) / (dfc[w] + 1.0)) + 1.0), w, c)
+                for w, c in tf.items()
+            ),
+            key=lambda x: (-x[0], x[1]),
+        )[:2]
+        for s, w, c in scored:
+            expect_rows.append(
+                {"doc_id": doc_id, "word": w, "tf": c, "df": dfc[w], "tfidf": s}
+            )
+    expect = (
+        pd.DataFrame(expect_rows)
+        .sort_values(["doc_id", "word"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out[expect.columns], expect, check_dtype=False)
+    # vocabulary guard refuses an unbounded driver broadcast
+    with pytest.raises(ValueError, match="max_vocab_broadcast"):
+        textstats.tfidf_topk(ray.data.from_items(rows), k=1, max_vocab_broadcast=2)
