@@ -2378,6 +2378,152 @@ FROM s WHERE rk <= 5
 """
 
 
+def q_events_cumulative(sf_dir: str):
+    """Per-event running count + exact cents-sum per user (SQL ROWS
+    BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), ties in ts broken by
+    event_id so both engines agree on the running order."""
+    out = windows.cumulative_agg(
+        _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    )
+
+    def cast_cols(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": pc.cast(t["event_id"], pa.int64()),
+                "user_id": pc.cast(t["user_id"], pa.int64()),
+                "n_cum": pc.cast(t["n_cum"], pa.int64()),
+                "sum_cents_cum": pc.cast(t["sum_cents_cum"], pa.int64()),
+            }
+        )
+
+    return out.map_batches(cast_cols, batch_format="pyarrow")
+
+
+SQL_EVENTS_CUMULATIVE = """
+SELECT event_id, user_id,
+       CAST(row_number() OVER w AS BIGINT) AS n_cum,
+       CAST(sum(CAST(round(value*100) AS BIGINT)) OVER w AS BIGINT)
+         AS sum_cents_cum
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_grouped_median(sf_dir: str):
+    """Exact per-event-type median of value (lower rule, in cents) via
+    the distributed value-histogram — the shuffle moves (type, cents)
+    count pairs, never raw rows."""
+    out = stats.grouped_median_cents(
+        _read(sf_dir, "events", ["event_type", "value"]), "event_type", "value"
+    )
+
+    def cast_cols(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "median_cents": pc.cast(t["median_cents"], pa.int64()),
+                "n": pc.cast(t["n"], pa.int64()),
+            }
+        )
+
+    return out.map_batches(cast_cols, batch_format="pyarrow")
+
+
+SQL_GROUPED_MEDIAN = """
+WITH c AS (
+  SELECT event_type, CAST(round(value*100) AS BIGINT) AS cents FROM events
+),
+o AS (
+  SELECT event_type, cents,
+         row_number() OVER (PARTITION BY event_type ORDER BY cents) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM c
+)
+SELECT event_type, cents AS median_cents, CAST(n AS BIGINT) AS n
+FROM o WHERE rn = (n - 1) // 2 + 1
+"""
+
+
+def q_salted_agg(sf_dir: str):
+    """Grouped quantity sum over lineitem's THREE return flags — the
+    maximally hot-keyed aggregate — via the explicit two-phase salted
+    exchange (relational.salted_group_sum).  The oracle is the plain
+    GROUP BY: salting must not change the result, only the shuffle
+    layout."""
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
+    out = relational.salted_group_sum(ds, "l_returnflag", "l_quantity")
+
+    def cast_cols(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "sum_cents": pc.cast(t["sum_cents"], pa.int64()),
+                "n_rows": pc.cast(t["n_rows"], pa.int64()),
+            }
+        )
+
+    return out.map_batches(cast_cols, batch_format="pyarrow")
+
+
+SQL_SALTED_AGG = """
+SELECT l_returnflag,
+       CAST(sum(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT) AS sum_cents,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q_stratified_sample(sf_dir: str):
+    """Per-event-type balanced 20-sample: each type's 20 events with
+    the smallest md5-u64 rank — deterministic and partition/order
+    independent (the per-class balanced subsampling shape), reusing
+    the grouped_top_k map-side combiner so the exchange moves ≤20
+    rows per (type, batch)."""
+    ds = _read(sf_dir, "events", ["event_id", "event_type"])
+
+    def rank(batch: pa.Table) -> pa.Table:
+        rk = [
+            stats._sample_u64(str(e), "strat")
+            for e in batch["event_id"].to_pylist()
+        ]
+        return batch.append_column("rk", pa.array(rk, pa.uint64()))
+
+    ranked = ds.map_batches(rank, batch_format="pyarrow")
+    out = relational.grouped_top_k(
+        ranked, "event_type", ["rk", "event_id"], k=20,
+        descending=[False, False],
+    )
+
+    def cast_cols(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": pc.cast(t["event_id"], pa.int64()),
+                "event_type": t["event_type"],
+                "rk": pc.cast(t["rk"], pa.uint64()),
+            }
+        )
+
+    return out.map_batches(cast_cols, batch_format="pyarrow")
+
+
+SQL_STRATIFIED_SAMPLE = """
+WITH r AS (
+  SELECT event_id, event_type,
+         CAST(('0x' || substr(md5('strat' || CAST(event_id AS VARCHAR)), 1, 16))
+              AS UBIGINT) AS rk
+  FROM events
+),
+s AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type
+                               ORDER BY rk, event_id) AS rn
+  FROM r
+)
+SELECT CAST(event_id AS BIGINT) AS event_id, event_type, rk
+FROM s WHERE rn <= 20
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -2413,6 +2559,10 @@ def queries() -> Dict[str, Callable]:
         "q_token_bpe": q_token_bpe,
         "q_anti_join": q_anti_join,
         "q_events_sliding": q_events_sliding,
+        "q_events_cumulative": q_events_cumulative,
+        "q_grouped_median": q_grouped_median,
+        "q_salted_agg": q_salted_agg,
+        "q_stratified_sample": q_stratified_sample,
         "q_tfidf": q_tfidf,
         "q_asof_join": q_asof_join,
         "q_redact": q_redact,
@@ -2494,6 +2644,10 @@ def _build_oracle_sql() -> Dict[str, str]:
         "q_token_bpe": SQL_TOKEN_BPE,
         "q_anti_join": SQL_ANTI_JOIN,
         "q_events_sliding": SQL_EVENTS_SLIDING,
+        "q_events_cumulative": SQL_EVENTS_CUMULATIVE,
+        "q_grouped_median": SQL_GROUPED_MEDIAN,
+        "q_salted_agg": SQL_SALTED_AGG,
+        "q_stratified_sample": SQL_STRATIFIED_SAMPLE,
         "q_tfidf": SQL_TFIDF,
         "q_asof_join": SQL_ASOF_JOIN,
         "q_redact": SQL_REDACT,

@@ -361,3 +361,56 @@ def grouped_top_k(
         .groupby(group_key)
         .map_groups(final, batch_format="pandas")
     )
+
+
+def salted_group_sum(
+    ds: ray.data.Dataset,
+    key_col: str,
+    value_col: str,
+    num_salts: int = 16,
+) -> ray.data.Dataset:
+    """Hot-key-safe grouped sum + count (exact integer cents): the
+    skew pattern from the brief ("salt hot keys") made first-class.
+
+    Phase 0 (map-side): each batch pre-aggregates to one row per
+    (key, salt), salt = row-position % num_salts — so the first
+    exchange moves ≤ num_salts rows per (key, batch) no matter how
+    hot the key.  Phase 1: groupby (key, salt) sums the partials
+    across batches; a key with 10^9 rows lands on num_salts reducers
+    instead of one.  Phase 2: groupby key over ≤ num_salts rows per
+    key.  The result is identical to a plain GROUP BY (addition is
+    associative); only the exchange layout changes."""
+    import numpy as np
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.round(pc.multiply(pc.cast(batch[value_col], pa.float64()),
+                                 pa.scalar(100.0))),
+            pa.int64(),
+        )
+        salt = pa.array(
+            np.arange(batch.num_rows, dtype=np.int64) % num_salts, pa.int64()
+        )
+        t = pa.table({key_col: batch[key_col], "__salt": salt, "cents": cents})
+        agg = t.group_by([key_col, "__salt"]).aggregate(
+            [("cents", "sum"), ("cents", "count")]
+        )
+        return pa.table(
+            {
+                key_col: agg[key_col],
+                "__salt": agg["__salt"],
+                "ps": pc.cast(agg["cents_sum"], pa.int64()),
+                "pn": pc.cast(agg["cents_count"], pa.int64()),
+            }
+        )
+
+    salted = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby([key_col, "__salt"])
+        .aggregate(Sum("ps", alias_name="s"), Sum("pn", alias_name="n"))
+    )
+    return salted.groupby(key_col).aggregate(
+        Sum("s", alias_name="sum_cents"), Sum("n", alias_name="n_rows")
+    )

@@ -199,3 +199,60 @@ def sample_fraction(
         return batch.filter(mask)
 
     return ds.map_batches(filt, batch_format="pyarrow")
+
+
+def grouped_median_cents(
+    ds: ray.data.Dataset, group_col: str, value_col: str
+) -> ray.data.Dataset:
+    """EXACT per-group median (lower rule: ``sorted[(n-1)//2]``, the
+    same rule as ``quantiles_exact``) of a cents-representable value
+    column, computed over a VALUE HISTOGRAM: a map-side partial count
+    per (group, cents) in each batch, ONE (group, cents)-keyed
+    exchange of those counts, then a per-group walk of the compacted
+    histogram (cumulative counts vs the target rank).
+
+    Scale shape: the shuffle moves distinct (group, cents) pairs —
+    bounded by group × value cardinality, not corpus size — and no
+    group ever materializes its raw rows, so a group with 10^9 rows
+    costs the same as one with 10^3."""
+    import pandas as pd
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.round(pc.multiply(pc.cast(batch[value_col], pa.float64()),
+                                 pa.scalar(100.0))),
+            pa.int64(),
+        )
+        t = pa.table({group_col: batch[group_col], "cents": cents})
+        agg = t.group_by([group_col, "cents"]).aggregate([("cents", "count")])
+        return pa.table(
+            {
+                group_col: agg[group_col],
+                "cents": agg["cents"],
+                "pn": pc.cast(agg["cents_count"], pa.int64()),
+            }
+        )
+
+    hist = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby([group_col, "cents"])
+        .aggregate(Sum("pn", alias_name="n"))
+    )
+
+    def median(g: pd.DataFrame) -> pd.DataFrame:
+        gg = g.sort_values("cents")
+        n = int(gg["n"].sum())
+        k = (n - 1) // 2  # 0-based lower-rule rank
+        cum = gg["n"].cumsum().to_numpy()
+        idx = int(np.searchsorted(cum, k + 1))
+        return pd.DataFrame(
+            {
+                group_col: [gg[group_col].iloc[0]],
+                "median_cents": [int(gg["cents"].iloc[idx])],
+                "n": [n],
+            }
+        )
+
+    return hist.groupby(group_col).map_groups(median, batch_format="pandas")

@@ -141,3 +141,45 @@ def sliding_range_agg(
         .groupby(key_col)
         .map_groups(per_key, batch_format="pandas")
     )
+
+
+def cumulative_agg(
+    events: ray.data.Dataset,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+) -> ray.data.Dataset:
+    """Per-event running aggregate (SQL ``ROWS BETWEEN UNBOUNDED
+    PRECEDING AND CURRENT ROW``): count + exact cents-sum of the
+    key's events up to and including this one, ordered by
+    ``(ts, id)`` so ties in ts are deterministic.
+
+    One key-partitioned exchange; per group a lexsort + one cumsum —
+    no per-event Python loop."""
+    import numpy as np
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        ts = (
+            pd.to_datetime(g[ts_col])
+            .astype("datetime64[us]")
+            .astype("int64")
+            .to_numpy()
+        )
+        ids = g[id_col].to_numpy()
+        order = np.lexsort((ids, ts))
+        cents = np.rint(g[value_col].to_numpy()[order] * 100).astype(np.int64)
+        return pd.DataFrame(
+            {
+                id_col: ids[order],
+                key_col: g[key_col].iloc[0],
+                "n_cum": np.arange(1, len(ids) + 1, dtype=np.int64),
+                "sum_cents_cum": np.cumsum(cents),
+            }
+        )
+
+    return (
+        events.select_columns([id_col, key_col, ts_col, value_col])
+        .groupby(key_col)
+        .map_groups(per_key, batch_format="pandas")
+    )

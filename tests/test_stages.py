@@ -645,3 +645,76 @@ def test_tfidf_topk_matches_bruteforce():
     # vocabulary guard refuses an unbounded driver broadcast
     with pytest.raises(ValueError, match="max_vocab_broadcast"):
         textstats.tfidf_topk(ray.data.from_items(rows), k=1, max_vocab_broadcast=2)
+
+
+def test_cumulative_agg_matches_bruteforce():
+    rng = np.random.default_rng(11)
+    n = 150
+    base = pd.Timestamp("2024-03-01")
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(n),
+            "user_id": rng.integers(0, 4, n),
+            # coarse timestamps force ties broken by event_id
+            "ts": base + pd.to_timedelta(rng.integers(0, 20, n), unit="s"),
+            "value": np.round(rng.uniform(0, 50, n), 2),
+        }
+    )
+    out = (
+        windows.cumulative_agg(ray.data.from_pandas(df))
+        .to_pandas()
+        .set_index("event_id")
+        .sort_index()
+    )
+    expect = df.sort_values(["user_id", "ts", "event_id"]).copy()
+    expect["cents"] = np.rint(expect["value"].to_numpy() * 100).astype(np.int64)
+    expect["n_cum"] = expect.groupby("user_id").cumcount() + 1
+    expect["sum_cents_cum"] = expect.groupby("user_id")["cents"].cumsum()
+    expect = expect.set_index("event_id").sort_index()
+    assert (out["n_cum"] == expect["n_cum"]).all()
+    assert (out["sum_cents_cum"] == expect["sum_cents_cum"]).all()
+
+
+def test_grouped_median_cents_matches_lower_rule():
+    from entity_context_crawler_ray.stages import stats
+
+    rng = np.random.default_rng(13)
+    df = pd.DataFrame(
+        {
+            "grp": rng.choice(["a", "b", "c"], 301),
+            "value": np.round(rng.uniform(-5, 5, 301), 2),
+        }
+    )
+    out = (
+        stats.grouped_median_cents(
+            ray.data.from_pandas(df).repartition(7), "grp", "value"
+        )
+        .to_pandas()
+        .set_index("grp")
+        .sort_index()
+    )
+    cents = np.rint(df["value"].to_numpy() * 100).astype(np.int64)
+    for g in ["a", "b", "c"]:
+        vals = np.sort(cents[(df["grp"] == g).to_numpy()])
+        assert out.loc[g, "median_cents"] == int(vals[(len(vals) - 1) // 2])
+        assert out.loc[g, "n"] == len(vals)
+
+
+def test_salted_group_sum_matches_plain_groupby():
+    rng = np.random.default_rng(17)
+    # one deliberately hot key: 90% of rows land on "hot"
+    keys = np.where(rng.uniform(size=500) < 0.9, "hot", "cold")
+    df = pd.DataFrame({"k": keys, "value": np.round(rng.uniform(0, 9, 500), 2)})
+    out = (
+        relational.salted_group_sum(
+            ray.data.from_pandas(df).repartition(5), "k", "value", num_salts=8
+        )
+        .to_pandas()
+        .set_index("k")
+        .sort_index()
+    )
+    cents = np.rint(df["value"].to_numpy() * 100).astype(np.int64)
+    for k in ["cold", "hot"]:
+        m = (df["k"] == k).to_numpy()
+        assert out.loc[k, "sum_cents"] == int(cents[m].sum())
+        assert out.loc[k, "n_rows"] == int(m.sum())
