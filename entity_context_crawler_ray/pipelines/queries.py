@@ -2524,6 +2524,142 @@ FROM s WHERE rn <= 20
 """
 
 
+def q_pack_documents(sf_dir: str):
+    """LLM sequence packing: every document's fixed-capacity training
+    bin along the deterministic (md5-rank, doc_id) global order,
+    computed with the two-pass distributed prefix scan in
+    stages/packing.py — no global sort, driver holds <= num_parts
+    scalars."""
+    from ..stages import packing
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def count_tokens(batch: pa.Table) -> pa.Table:
+        n = [
+            len(textstats._WORD_RE.findall(t.lower()))
+            for t in batch["text"].to_pylist()
+        ]
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_tokens": pa.array(n, pa.int64()),
+            }
+        )
+
+    counted = ds.map_batches(count_tokens, batch_format="pyarrow")
+    out = packing.pack_sequences(
+        counted, "doc_id", "n_tokens", capacity=2048
+    )
+
+    def cast_cols(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": pc.cast(t["doc_id"], pa.int64()),
+                "n_tokens": pc.cast(t["n_tokens"], pa.int64()),
+                "bin": pc.cast(t["bin"], pa.int64()),
+            }
+        )
+
+    return out.map_batches(cast_cols, batch_format="pyarrow")
+
+
+SQL_PACK_DOCUMENTS = """
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS BIGINT)
+           AS n_tokens,
+         CAST(('0x' || substr(md5('pack' || CAST(doc_id AS VARCHAR)), 1, 16))
+              AS UBIGINT) AS rk
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         sum(n_tokens) OVER (ORDER BY rk, doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - n_tokens AS prev
+  FROM t
+)
+SELECT doc_id, n_tokens, CAST(prev // 2048 AS BIGINT) AS bin FROM c
+"""
+
+
+def q_hll_user_ids(sf_dir: str):
+    """HyperLogLog register table over events.user_id (b=8, md5
+    bucket/rho so DuckDB computes the identical registers): the
+    mergeable distinct-count sketch — the exchange is <= 256 rows per
+    batch at any corpus size."""
+    out = stats.hll_registers(
+        _read(sf_dir, "events", ["user_id"]), "user_id"
+    )
+
+    def cast_cols(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "bucket": pc.cast(t["bucket"], pa.int64()),
+                "register": pc.cast(t["register"], pa.int64()),
+            }
+        )
+
+    return out.map_batches(cast_cols, batch_format="pyarrow")
+
+
+SQL_HLL_USER_IDS = """
+WITH h AS (
+  SELECT CAST(('0x' || substr(md5('hll' || CAST(user_id AS VARCHAR)), 1, 16))
+              AS UBIGINT) AS u
+  FROM events
+),
+r AS (
+  SELECT CAST(u >> 56 AS BIGINT) AS bucket,
+         CAST((u >> 32) & 16777215 AS BIGINT) AS rem
+  FROM h
+)
+SELECT bucket,
+       max(CASE WHEN rem = 0 THEN 25
+                ELSE 24 - CAST(floor(log2(CAST(rem AS DOUBLE))) AS BIGINT)
+           END) AS register
+FROM r GROUP BY bucket
+"""
+
+
+def q_inverted_index(sf_dir: str):
+    """Inverted index over documents: word -> df, occurrence count,
+    and the ordered doc:pos posting string (0-based token index) —
+    one word-keyed exchange of (word, doc, pos) triples."""
+    out = textstats.inverted_index(
+        _read(sf_dir, "documents", ["doc_id", "text"])
+    )
+
+    def cast_cols(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "word": t["word"],
+                "df": pc.cast(t["df"], pa.int64()),
+                "n_postings": pc.cast(t["n_postings"], pa.int64()),
+                "postings": pc.cast(t["postings"], pa.string()),
+            }
+        )
+
+    return out.map_batches(cast_cols, batch_format="pyarrow")
+
+
+SQL_INVERTED_INDEX = """
+WITH w AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS word,
+         generate_subscripts(regexp_extract_all(lower(text), '[a-z0-9_]+'), 1)
+           - 1 AS pos
+  FROM documents
+)
+SELECT word,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+       CAST(count(*) AS BIGINT) AS n_postings,
+       string_agg(CAST(doc_id AS VARCHAR) || ':' || CAST(pos AS VARCHAR),
+                  ',' ORDER BY doc_id, pos) AS postings
+FROM w GROUP BY word
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -2563,6 +2699,9 @@ def queries() -> Dict[str, Callable]:
         "q_grouped_median": q_grouped_median,
         "q_salted_agg": q_salted_agg,
         "q_stratified_sample": q_stratified_sample,
+        "q_pack_documents": q_pack_documents,
+        "q_hll_user_ids": q_hll_user_ids,
+        "q_inverted_index": q_inverted_index,
         "q_tfidf": q_tfidf,
         "q_asof_join": q_asof_join,
         "q_redact": q_redact,
@@ -2648,6 +2787,9 @@ def _build_oracle_sql() -> Dict[str, str]:
         "q_grouped_median": SQL_GROUPED_MEDIAN,
         "q_salted_agg": SQL_SALTED_AGG,
         "q_stratified_sample": SQL_STRATIFIED_SAMPLE,
+        "q_pack_documents": SQL_PACK_DOCUMENTS,
+        "q_hll_user_ids": SQL_HLL_USER_IDS,
+        "q_inverted_index": SQL_INVERTED_INDEX,
         "q_tfidf": SQL_TFIDF,
         "q_asof_join": SQL_ASOF_JOIN,
         "q_redact": SQL_REDACT,

@@ -256,3 +256,88 @@ def grouped_median_cents(
         )
 
     return hist.groupby(group_col).map_groups(median, batch_format="pandas")
+
+
+def hll_registers(
+    ds: ray.data.Dataset,
+    col: str,
+    salt: str = "hll",
+    b: int = 8,
+) -> ray.data.Dataset:
+    """HyperLogLog register table for a column: a MERGEABLE
+    distinct-count sketch whose exchange is at most ``2^b`` rows per
+    batch regardless of corpus size (Flajolet et al. 2007).
+
+    Value hash = md5-u64 of ``salt + str(value)``; bucket = top ``b``
+    bits; rho = 1 + leading-zero count of the next 24 bits (24 so the
+    DuckDB twin's float ``log2`` stays exact — a 24-bit int is far
+    inside the double mantissa and the true log2 of a non-power is
+    ≥6e-8 from any integer).  Register = max rho per bucket.  Partial
+    max inside each batch (Arrow group_by), then ONE (bucket)-keyed
+    groupby-max: registers merge by max, so sketches of shards union
+    for free — the property that makes HLL the 100 TB distinct-count
+    shape.  Use :func:`hll_estimate` on the collected registers."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Max
+
+    if not 4 <= b <= 16:
+        raise ValueError("b must be in [4, 16]")
+    rem_bits = 24
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vals = batch[col].to_pylist()
+        if not vals:
+            return pa.table(
+                {
+                    "bucket": pa.array([], pa.int64()),
+                    "pmax": pa.array([], pa.int64()),
+                }
+            )
+        u = np.fromiter(
+            (_sample_u64(str(v), salt) for v in vals),
+            dtype=np.uint64,
+            count=len(vals),
+        )
+        bucket = (u >> np.uint64(64 - b)).astype(np.int64)
+        rem = ((u >> np.uint64(64 - b - rem_bits)) & np.uint64(
+            (1 << rem_bits) - 1
+        )).astype(np.int64)
+        rho = np.where(
+            rem > 0,
+            rem_bits - np.floor(np.log2(rem, where=rem > 0)).astype(np.int64),
+            rem_bits + 1,
+        )
+        t = pa.table(
+            {
+                "bucket": pa.array(bucket, pa.int64()),
+                "rho": pa.array(rho, pa.int64()),
+            }
+        )
+        agg = t.group_by("bucket").aggregate([("rho", "max")])
+        return pa.table(
+            {
+                "bucket": agg["bucket"],
+                "pmax": pc.cast(agg["rho_max"], pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(Max("pmax", alias_name="register"))
+    )
+
+
+def hll_estimate(registers: dict, b: int = 8) -> float:
+    """Standard HLL estimate (with small-range correction) from a
+    {bucket: register} dict as produced by :func:`hll_registers`;
+    buckets absent from the dict are empty (register 0)."""
+    m = 1 << b
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    s = sum(2.0 ** -registers.get(j, 0) for j in range(m))
+    est = alpha * m * m / s
+    if est <= 2.5 * m:
+        zeros = sum(1 for j in range(m) if registers.get(j, 0) == 0)
+        if zeros:
+            return m * math.log(m / zeros)
+    return est

@@ -301,3 +301,65 @@ def simhash64(batch: pa.Table, text_col: str = "text") -> pa.Table:
         sigs.append(sig - (1 << 63))  # store as int64
     out = batch.drop_columns([text_col])
     return out.append_column("simhash", pa.array(sigs, pa.int64()))
+
+
+def inverted_index(
+    documents,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_df: int = 0,
+):
+    """Distributed inverted-index build: word -> ordered posting list
+    of ``doc:position`` (0-based token index, ``_WORD_RE`` tokens on
+    lowercased text) plus df (distinct docs) and total occurrence
+    count.  The search-index / n-gram-LM construction shape.
+
+    One word-keyed exchange of (word, doc, pos) triples — already the
+    minimal exchange for position-bearing postings; per-word assembly
+    is a lexsort + join, never a Python loop over the corpus.  With
+    ``max_df`` > 0, words appearing in more than ``max_df`` docs are
+    dropped AFTER df is known (stopword pruning) so giant posting
+    rows never materialize."""
+    import pandas as pd
+
+    def explode(batch: pa.Table) -> pa.Table:
+        docs, words, poss = [], [], []
+        for d, t in zip(batch[id_col].to_pylist(), batch[text_col].to_pylist()):
+            toks = _WORD_RE.findall(t.lower())
+            words.extend(toks)
+            poss.extend(range(len(toks)))
+            docs.extend([d] * len(toks))
+        return pa.table(
+            {
+                "word": pa.array(words, pa.string()),
+                id_col: pa.array(docs, pa.int64()),
+                "pos": pa.array(poss, pa.int64()),
+            }
+        )
+
+    def per_word(g: pd.DataFrame) -> pd.DataFrame:
+        docs = g[id_col].to_numpy()
+        pos = g["pos"].to_numpy()
+        order = np.lexsort((pos, docs))
+        df = int(pd.unique(docs).size)
+        if max_df and df > max_df:
+            return pd.DataFrame(
+                {"word": [], "df": [], "n_postings": [], "postings": []}
+            )
+        postings = ",".join(
+            f"{d}:{p}" for d, p in zip(docs[order], pos[order])
+        )
+        return pd.DataFrame(
+            {
+                "word": [g["word"].iloc[0]],
+                "df": [df],
+                "n_postings": [len(docs)],
+                "postings": [postings],
+            }
+        )
+
+    return (
+        documents.map_batches(explode, batch_format="pyarrow")
+        .groupby("word")
+        .map_groups(per_word, batch_format="pandas")
+    )

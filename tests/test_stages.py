@@ -718,3 +718,108 @@ def test_salted_group_sum_matches_plain_groupby():
         m = (df["k"] == k).to_numpy()
         assert out.loc[k, "sum_cents"] == int(cents[m].sum())
         assert out.loc[k, "n_rows"] == int(m.sum())
+
+
+def test_pack_sequences_matches_global_cumsum():
+    from entity_context_crawler_ray.stages import packing, stats
+
+    rng = np.random.default_rng(19)
+    n = 400
+    df = pd.DataFrame(
+        {"doc_id": np.arange(n), "n_tokens": rng.integers(1, 300, n)}
+    )
+    out = (
+        packing.pack_sequences(
+            ray.data.from_pandas(df).repartition(9),
+            "doc_id",
+            "n_tokens",
+            capacity=1000,
+            num_parts=16,
+        )
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    # brute force: global order by (md5 rank, id), exclusive cumsum
+    rk = np.array(
+        [stats._sample_u64(str(i), "pack") for i in df["doc_id"]],
+        dtype=np.uint64,
+    )
+    order = np.lexsort((df["doc_id"].to_numpy(), rk))
+    cnt = df["n_tokens"].to_numpy()[order]
+    prev = np.cumsum(cnt) - cnt
+    expect = pd.Series(
+        prev // 1000, index=df["doc_id"].to_numpy()[order]
+    ).sort_index()
+    assert (out["bin"].to_numpy() == expect.to_numpy()).all()
+    # partition-count independence
+    out2 = (
+        packing.pack_sequences(
+            ray.data.from_pandas(df).repartition(2),
+            "doc_id",
+            "n_tokens",
+            capacity=1000,
+            num_parts=64,
+        )
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert (out["bin"].to_numpy() == out2["bin"].to_numpy()).all()
+
+
+def test_hll_registers_merge_and_estimate():
+    from entity_context_crawler_ray.stages import stats
+
+    ds = ray.data.range(20000)
+    regs = stats.hll_registers(ds, "id").to_pandas()
+    d = dict(zip(regs["bucket"], regs["register"]))
+    est = stats.hll_estimate(d)
+    assert abs(est - 20000) / 20000 < 0.15  # ~6.5% expected at m=256
+    # mergeability: sketch(A ∪ B) == max-merge(sketch(A), sketch(B))
+    a = stats.hll_registers(ray.data.range(12000), "id").to_pandas()
+    b_df = (
+        ray.data.range(20000)
+        .map_batches(
+            lambda t: t.filter(np.array(t["id"]) >= 8000),
+            batch_format="pyarrow",
+        )
+    )
+    b = stats.hll_registers(b_df, "id").to_pandas()
+    merged: dict = {}
+    for frame in (a, b):
+        for k, v in zip(frame["bucket"], frame["register"]):
+            merged[k] = max(merged.get(k, 0), v)
+    assert merged == d
+
+
+def test_inverted_index_matches_bruteforce():
+    import re
+
+    rows = [
+        {"doc_id": 2, "text": "apple banana apple"},
+        {"doc_id": 0, "text": "banana cherry"},
+        {"doc_id": 1, "text": "Apple! cherry_pie apple"},
+    ]
+    out = (
+        textstats.inverted_index(ray.data.from_items(rows))
+        .to_pandas()
+        .set_index("word")
+        .sort_index()
+    )
+    word_re = re.compile(r"[a-z0-9_]+")
+    expect: dict = {}
+    for r in rows:
+        for p, w in enumerate(word_re.findall(r["text"].lower())):
+            expect.setdefault(w, []).append((r["doc_id"], p))
+    assert set(out.index) == set(expect)
+    for w, posts in expect.items():
+        posts.sort()
+        assert out.loc[w, "df"] == len({d for d, _ in posts})
+        assert out.loc[w, "n_postings"] == len(posts)
+        assert out.loc[w, "postings"] == ",".join(f"{d}:{p}" for d, p in posts)
+    # stopword pruning drops high-df words after df is known
+    pruned = textstats.inverted_index(
+        ray.data.from_items(rows), max_df=1
+    ).to_pandas()
+    assert set(pruned["word"]) == {"cherry", "cherry_pie"}
