@@ -1943,12 +1943,11 @@ LIMIT 100
 """
 
 
-def q_dedup_clusters(sf_dir: str):
-    """Near-dup CLUSTERS: md5 minhash banding -> candidate pairs ->
-    connected components (min reachable doc_id per node; singletons
-    label themselves) — the canonical-document selection step.  The
-    oracle recomputes the same bands in SQL and closes the edges with
-    a recursive CTE."""
+def _dedup_clusters_ds(sf_dir: str) -> ray.data.Dataset:
+    """(doc_id, component) near-dup clusters: md5 minhash banding ->
+    candidate pairs -> connected components (min reachable doc_id per
+    node; singletons label themselves).  Shared by q_dedup_clusters
+    and q_dedup_keep_best."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     bands = ds.map_batches(dedup.minhash_bands_md5, batch_format="pyarrow")
 
@@ -1983,7 +1982,67 @@ def q_dedup_clusters(sf_dir: str):
     )
 
 
-SQL_DEDUP_CLUSTERS = """
+def q_dedup_clusters(sf_dir: str):
+    """Near-dup CLUSTERS — see _dedup_clusters_ds.  The oracle
+    recomputes the same bands in SQL and closes the edges with a
+    recursive CTE."""
+    return _dedup_clusters_ds(sf_dir)
+
+
+def q_dedup_keep_best(sf_dir: str):
+    """Canonical-document selection — the training-data dedup
+    endgame: per near-dup cluster keep ONE document, the argmax by
+    (n_words desc, doc_id asc).  Clusters from _dedup_clusters_ds,
+    word counts joined in with the native hash join (both sides
+    doc_id-keyed), then one component-keyed exchange whose groups are
+    cluster-sized, never corpus-sized."""
+    clusters = _dedup_clusters_ds(sf_dir)
+
+    def count_words(batch: pa.Table) -> pa.Table:
+        n = [
+            len(textstats._WORD_RE.findall(t.lower()))
+            for t in batch["text"].to_pylist()
+        ]
+        return pa.table(
+            {
+                "doc_id": pc.cast(batch["doc_id"], pa.int64()),
+                "n_words": pa.array(n, pa.int64()),
+            }
+        )
+
+    nwords = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        count_words, batch_format="pyarrow"
+    )
+    joined = relational.hash_join(clusters, nwords, on="doc_id")
+
+    def per_component(g: pd.DataFrame) -> pd.DataFrame:
+        gg = g.sort_values(["n_words", "doc_id"], ascending=[False, True])
+        return pd.DataFrame(
+            {
+                "component": [int(gg["component"].iloc[0])],
+                "kept_doc_id": [int(gg["doc_id"].iloc[0])],
+                "kept_n_words": [int(gg["n_words"].iloc[0])],
+                "n_members": [len(gg)],
+            }
+        )
+
+    out = joined.groupby("component").map_groups(
+        per_component, batch_format="pandas"
+    )
+    return out.map_batches(
+        lambda t: pa.table(
+            {
+                "component": pc.cast(t["component"], pa.int64()),
+                "kept_doc_id": pc.cast(t["kept_doc_id"], pa.int64()),
+                "kept_n_words": pc.cast(t["kept_n_words"], pa.int64()),
+                "n_members": pc.cast(t["n_members"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+_SQL_CLUSTER_CTES = """
 WITH RECURSIVE w AS (
   SELECT doc_id, regexp_extract_all(text, '[A-Za-z0-9_]+') AS ws FROM documents
 ), g AS (
@@ -2022,9 +2081,36 @@ WITH RECURSIVE w AS (
   SELECT doc_id AS node, doc_id AS label FROM documents
   UNION
   SELECT e.u, r.label FROM edges e JOIN reach r ON e.v = r.node
-)
+)"""
+
+SQL_DEDUP_CLUSTERS = _SQL_CLUSTER_CTES + """
 SELECT node AS doc_id, CAST(min(label) AS BIGINT) AS component
 FROM reach GROUP BY node
+"""
+
+SQL_DEDUP_KEEP_BEST = _SQL_CLUSTER_CTES + """,
+comp AS (
+  SELECT node AS doc_id, min(label) AS component FROM reach GROUP BY node
+),
+q AS (
+  SELECT doc_id, len(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS n_words
+  FROM documents
+),
+j AS (
+  SELECT comp.component, comp.doc_id, q.n_words FROM comp JOIN q USING (doc_id)
+),
+r AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY component
+                            ORDER BY n_words DESC, doc_id) AS rn,
+         count(*) OVER (PARTITION BY component) AS n_members
+  FROM j
+)
+SELECT CAST(component AS BIGINT) AS component,
+       CAST(doc_id AS BIGINT) AS kept_doc_id,
+       CAST(n_words AS BIGINT) AS kept_n_words,
+       CAST(n_members AS BIGINT) AS n_members
+FROM r WHERE rn = 1
 """
 
 
@@ -2707,6 +2793,7 @@ def queries() -> Dict[str, Callable]:
         "q_redact": q_redact,
         "q_term_df": q_term_df,
         "q_dedup_clusters": q_dedup_clusters,
+        "q_dedup_keep_best": q_dedup_keep_best,
         "q_top_orders_per_cust": q_top_orders_per_cust,
         "q_quantiles": q_quantiles,
         "q_sample": q_sample,
@@ -2795,6 +2882,7 @@ def _build_oracle_sql() -> Dict[str, str]:
         "q_redact": SQL_REDACT,
         "q_term_df": SQL_TERM_DF,
         "q_dedup_clusters": SQL_DEDUP_CLUSTERS,
+        "q_dedup_keep_best": SQL_DEDUP_KEEP_BEST,
         "q_top_orders_per_cust": SQL_TOP_ORDERS_PER_CUST,
         "q_quantiles": SQL_QUANTILES,
         "q_sample": SQL_SAMPLE,
