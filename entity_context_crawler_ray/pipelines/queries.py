@@ -2746,6 +2746,88 @@ FROM w GROUP BY word
 """
 
 
+def q_repetition(sf_dir: str):
+    """Gopher-style repetition quality signals (distinct-word frac,
+    top-bigram share) per document — a pure map stage."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(textstats.repetition_stats, batch_format="pyarrow")
+
+
+SQL_REPETITION = """
+WITH w AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS ws
+  FROM documents
+),
+b AS (
+  SELECT doc_id,
+         CASE WHEN len(ws) >= 2
+              THEN list_transform(range(1, len(ws)),
+                                  i -> array_to_string(ws[i:i+1], ' '))
+              ELSE [] END AS bigrams,
+         len(ws) AS n_words,
+         len(list_distinct(ws)) AS n_distinct
+  FROM w
+),
+t AS (
+  SELECT doc_id, gram, count(*) AS c
+  FROM (SELECT doc_id, unnest(bigrams) AS gram FROM b)
+  GROUP BY doc_id, gram
+),
+m AS (SELECT doc_id, max(c) AS top_c FROM t GROUP BY doc_id)
+SELECT b.doc_id,
+       CAST(n_words AS BIGINT) AS n_words,
+       CAST(n_distinct AS BIGINT) AS n_distinct_words,
+       CASE WHEN n_words > 0
+            THEN 1.0 - CAST(n_distinct AS DOUBLE) / n_words
+            ELSE 0.0 END AS dup_word_frac,
+       CAST(greatest(n_words - 1, 0) AS BIGINT) AS n_bigrams,
+       CAST(COALESCE(m.top_c, 0) AS BIGINT) AS top_bigram_count,
+       CASE WHEN n_words - 1 > 0
+            THEN CAST(COALESCE(m.top_c, 0) AS DOUBLE) / (n_words - 1)
+            ELSE 0.0 END AS top_bigram_frac
+FROM b LEFT JOIN m USING (doc_id)
+"""
+
+
+def q_decontaminate(sf_dir: str):
+    """Benchmark decontamination: distinct 5-gram overlap of every
+    document against the 'benchmark' slice (doc_id < 10) — broadcast
+    semi-join of the small gram set, probed per batch."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    bench = docs.filter(expr="doc_id < 10")
+    return textstats.contamination_counts(docs, bench, n=5)
+
+
+SQL_DECONTAMINATE = """
+WITH w AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS ws
+  FROM documents
+),
+g AS (
+  SELECT doc_id,
+         CASE WHEN len(ws) >= 5
+              THEN list_transform(range(1, len(ws) - 3),
+                                  i -> array_to_string(ws[i:i+4], ' '))
+              ELSE [] END AS grams
+  FROM w
+),
+s AS (
+  SELECT DISTINCT doc_id, gram
+  FROM (SELECT doc_id, unnest(grams) AS gram FROM g)
+),
+bench AS (SELECT DISTINCT gram FROM s WHERE doc_id < 10),
+c AS (
+  SELECT s.doc_id, count(*) AS n_shared
+  FROM s JOIN bench USING (gram) GROUP BY s.doc_id
+)
+SELECT w.doc_id,
+       CAST(COALESCE(c.n_shared, 0) AS BIGINT) AS n_shared,
+       CAST(CASE WHEN COALESCE(c.n_shared, 0) > 0 THEN 1 ELSE 0 END AS BIGINT)
+         AS contaminated
+FROM w LEFT JOIN c USING (doc_id)
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -2788,6 +2870,8 @@ def queries() -> Dict[str, Callable]:
         "q_pack_documents": q_pack_documents,
         "q_hll_user_ids": q_hll_user_ids,
         "q_inverted_index": q_inverted_index,
+        "q_repetition": q_repetition,
+        "q_decontaminate": q_decontaminate,
         "q_tfidf": q_tfidf,
         "q_asof_join": q_asof_join,
         "q_redact": q_redact,
@@ -2877,6 +2961,8 @@ def _build_oracle_sql() -> Dict[str, str]:
         "q_pack_documents": SQL_PACK_DOCUMENTS,
         "q_hll_user_ids": SQL_HLL_USER_IDS,
         "q_inverted_index": SQL_INVERTED_INDEX,
+        "q_repetition": SQL_REPETITION,
+        "q_decontaminate": SQL_DECONTAMINATE,
         "q_tfidf": SQL_TFIDF,
         "q_asof_join": SQL_ASOF_JOIN,
         "q_redact": SQL_REDACT,

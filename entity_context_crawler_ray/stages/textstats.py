@@ -363,3 +363,102 @@ def inverted_index(
         .groupby("word")
         .map_groups(per_word, batch_format="pandas")
     )
+
+
+def repetition_stats(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Gopher-style repetition quality signals per doc: distinct-word
+    fraction and the share of all word-bigrams taken by the single
+    most frequent bigram (high => boilerplate / degenerate text).
+    Pure map — no exchange; fractions are plain IEEE divisions so the
+    DuckDB twin reproduces them bit-for-bit."""
+    n_words, n_distinct, top_bi, n_bi = [], [], [], []
+    for t in batch[text_col].to_pylist():
+        toks = _WORD_RE.findall(t.lower())
+        n_words.append(len(toks))
+        n_distinct.append(len(set(toks)))
+        counts: dict = {}
+        for i in range(len(toks) - 1):
+            g = toks[i] + " " + toks[i + 1]
+            counts[g] = counts.get(g, 0) + 1
+        n_bi.append(max(len(toks) - 1, 0))
+        top_bi.append(max(counts.values()) if counts else 0)
+    out = batch.drop_columns([text_col])
+    out = out.append_column("n_words", pa.array(n_words, pa.int64()))
+    out = out.append_column("n_distinct_words", pa.array(n_distinct, pa.int64()))
+    out = out.append_column(
+        "dup_word_frac",
+        pa.array(
+            [1.0 - d / w if w else 0.0 for d, w in zip(n_distinct, n_words)],
+            pa.float64(),
+        ),
+    )
+    out = out.append_column("n_bigrams", pa.array(n_bi, pa.int64()))
+    out = out.append_column("top_bigram_count", pa.array(top_bi, pa.int64()))
+    return out.append_column(
+        "top_bigram_frac",
+        pa.array(
+            [c / n if n else 0.0 for c, n in zip(top_bi, n_bi)], pa.float64()
+        ),
+    )
+
+
+def contamination_counts(
+    documents,
+    benchmark,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_benchmark_grams: int = 50_000_000,
+):
+    """Benchmark decontamination: per document, how many DISTINCT
+    word n-grams it shares with a benchmark/eval corpus (> 0 =>
+    contaminated, drop before training).
+
+    The benchmark side is small by definition (eval sets are KB–MB
+    against a 100 TB corpus), so its distinct-gram set is collected
+    once, guarded by ``max_benchmark_grams``, broadcast with
+    ``ray.put``, and probed inside ``map_batches`` — the classic
+    broadcast semi-join; a corpus-sized right side would instead need
+    a gram-keyed distributed semi-join (the q_anti_join shape)."""
+    import ray
+
+    def grams_of(text: str) -> set:
+        toks = _WORD_RE.findall(text.lower())
+        return {
+            " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+        }
+
+    def bench_partial(batch: pa.Table) -> pa.Table:
+        out: set = set()
+        for t in batch[text_col].to_pylist():
+            out |= grams_of(t)
+        return pa.table({"gram": pa.array(sorted(out), pa.string())})
+
+    bench_grams = set(
+        benchmark.map_batches(bench_partial, batch_format="pyarrow")
+        .to_pandas()["gram"]
+    )
+    if len(bench_grams) > max_benchmark_grams:
+        raise ValueError(
+            f"benchmark gram set ({len(bench_grams)}) exceeds "
+            f"max_benchmark_grams={max_benchmark_grams}; use a "
+            "gram-keyed distributed semi-join instead of broadcast"
+        )
+    ref = ray.put(bench_grams)
+
+    def probe(batch: pa.Table) -> pa.Table:
+        bg = ray.get(ref)
+        shared = [
+            len(grams_of(t) & bg) for t in batch[text_col].to_pylist()
+        ]
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "n_shared": pa.array(shared, pa.int64()),
+                "contaminated": pa.array(
+                    [int(s > 0) for s in shared], pa.int64()
+                ),
+            }
+        )
+
+    return documents.map_batches(probe, batch_format="pyarrow")

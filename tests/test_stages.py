@@ -823,3 +823,46 @@ def test_inverted_index_matches_bruteforce():
         ray.data.from_items(rows), max_df=1
     ).to_pandas()
     assert set(pruned["word"]) == {"cherry", "cherry_pie"}
+
+
+def test_repetition_stats_known_values():
+    rows = [
+        {"doc_id": 0, "text": "a b a b a b"},       # top bigram "a b" x3 of 5
+        {"doc_id": 1, "text": "x y z"},             # all distinct
+        {"doc_id": 2, "text": "solo"},              # no bigrams
+    ]
+    out = (
+        ray.data.from_items(rows)
+        .map_batches(textstats.repetition_stats, batch_format="pyarrow")
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert out.loc[0, "n_words"] == 6 and out.loc[0, "n_distinct_words"] == 2
+    assert out.loc[0, "top_bigram_count"] == 3 and out.loc[0, "n_bigrams"] == 5
+    assert out.loc[0, "top_bigram_frac"] == 3 / 5
+    assert out.loc[1, "dup_word_frac"] == 0.0
+    assert out.loc[2, "n_bigrams"] == 0 and out.loc[2, "top_bigram_frac"] == 0.0
+
+
+def test_contamination_counts_flags_overlap():
+    docs = ray.data.from_items(
+        [
+            {"doc_id": 0, "text": "one two three four five six"},   # benchmark
+            {"doc_id": 10, "text": "zzz one two three four five"},  # shares
+            {"doc_id": 11, "text": "totally different words here now ok"},
+        ]
+    )
+    bench = docs.filter(expr="doc_id < 10")
+    out = (
+        textstats.contamination_counts(docs, bench, n=5)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert out.loc[0, "contaminated"] == 1  # benchmark overlaps itself
+    assert out.loc[10, "n_shared"] == 1 and out.loc[10, "contaminated"] == 1
+    assert out.loc[11, "n_shared"] == 0 and out.loc[11, "contaminated"] == 0
+    # guard refuses an unbounded broadcast
+    with pytest.raises(ValueError, match="max_benchmark_grams"):
+        textstats.contamination_counts(docs, bench, n=5, max_benchmark_grams=1)
