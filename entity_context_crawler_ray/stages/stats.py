@@ -304,7 +304,8 @@ def hll_registers(
         )).astype(np.int64)
         rho = np.where(
             rem > 0,
-            rem_bits - np.floor(np.log2(rem, where=rem > 0)).astype(np.int64),
+            rem_bits
+            - np.floor(np.log2(np.maximum(rem, 1))).astype(np.int64),
             rem_bits + 1,
         )
         t = pa.table(

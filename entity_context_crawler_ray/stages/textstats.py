@@ -344,7 +344,12 @@ def inverted_index(
         df = int(pd.unique(docs).size)
         if max_df and df > max_df:
             return pd.DataFrame(
-                {"word": [], "df": [], "n_postings": [], "postings": []}
+                {
+                    "word": pd.Series([], dtype=object),
+                    "df": pd.Series([], dtype="int64"),
+                    "n_postings": pd.Series([], dtype="int64"),
+                    "postings": pd.Series([], dtype=object),
+                }
             )
         postings = ",".join(
             f"{d}:{p}" for d, p in zip(docs[order], pos[order])
