@@ -2828,6 +2828,81 @@ FROM w LEFT JOIN c USING (doc_id)
 """
 
 
+def q_pagerank(sf_dir: str):
+    """Integer PageRank (3 power iterations, exact integer
+    arithmetic so the unrolled SQL twin is bit-identical) over the
+    customer→supplier bipartite graph from orders ⋈ lineitem —
+    the iterative-propagation operator family (stages/graph.py):
+    one src-keyed join + one dst-keyed groupby-sum per step."""
+    from ..stages import graph
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey"])
+    joined = relational.hash_join(orders, li, on="o_orderkey", right_on="l_orderkey")
+
+    def to_edge(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "src": pc.cast(t["o_custkey"], pa.int64()),
+                "dst": pc.add(
+                    pc.cast(t["l_suppkey"], pa.int64()), pa.scalar(1_000_000)
+                ),
+            }
+        )
+
+    edges = joined.map_batches(to_edge, batch_format="pyarrow")
+    out = graph.pagerank_int(edges, iterations=3)
+    return out.map_batches(
+        lambda t: pa.table(
+            {
+                "node": pc.cast(t["node"], pa.int64()),
+                "pr": pc.cast(t["pr"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_PAGERANK = """
+WITH e AS (
+  SELECT DISTINCT CAST(o_custkey AS BIGINT) AS src,
+         CAST(1000000 + l_suppkey AS BIGINT) AS dst
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+outd AS (SELECT src, count(*) AS d FROM e GROUP BY src),
+r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS pr FROM nodes),
+c1 AS (
+  SELECT e.dst AS node, sum((r0.pr * 85) // (100 * outd.d)) AS s
+  FROM e JOIN r0 ON e.src = r0.node JOIN outd ON e.src = outd.src
+  GROUP BY e.dst
+),
+r1 AS (
+  SELECT n.node, CAST(150000 + COALESCE(c1.s, 0) AS BIGINT) AS pr
+  FROM nodes n LEFT JOIN c1 USING (node)
+),
+c2 AS (
+  SELECT e.dst AS node, sum((r1.pr * 85) // (100 * outd.d)) AS s
+  FROM e JOIN r1 ON e.src = r1.node JOIN outd ON e.src = outd.src
+  GROUP BY e.dst
+),
+r2 AS (
+  SELECT n.node, CAST(150000 + COALESCE(c2.s, 0) AS BIGINT) AS pr
+  FROM nodes n LEFT JOIN c2 USING (node)
+),
+c3 AS (
+  SELECT e.dst AS node, sum((r2.pr * 85) // (100 * outd.d)) AS s
+  FROM e JOIN r2 ON e.src = r2.node JOIN outd ON e.src = outd.src
+  GROUP BY e.dst
+),
+r3 AS (
+  SELECT n.node, CAST(150000 + COALESCE(c3.s, 0) AS BIGINT) AS pr
+  FROM nodes n LEFT JOIN c3 USING (node)
+)
+SELECT node, pr FROM r3
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -2872,6 +2947,7 @@ def queries() -> Dict[str, Callable]:
         "q_inverted_index": q_inverted_index,
         "q_repetition": q_repetition,
         "q_decontaminate": q_decontaminate,
+        "q_pagerank": q_pagerank,
         "q_tfidf": q_tfidf,
         "q_asof_join": q_asof_join,
         "q_redact": q_redact,
@@ -2963,6 +3039,7 @@ def _build_oracle_sql() -> Dict[str, str]:
         "q_inverted_index": SQL_INVERTED_INDEX,
         "q_repetition": SQL_REPETITION,
         "q_decontaminate": SQL_DECONTAMINATE,
+        "q_pagerank": SQL_PAGERANK,
         "q_tfidf": SQL_TFIDF,
         "q_asof_join": SQL_ASOF_JOIN,
         "q_redact": SQL_REDACT,

@@ -866,3 +866,29 @@ def test_contamination_counts_flags_overlap():
     # guard refuses an unbounded broadcast
     with pytest.raises(ValueError, match="max_benchmark_grams"):
         textstats.contamination_counts(docs, bench, n=5, max_benchmark_grams=1)
+
+
+def test_pagerank_int_hand_computed():
+    from entity_context_crawler_ray.stages import graph
+
+    # 1 -> {2,3}, 2 -> 3, 3 -> 1 (duplicate edge collapses)
+    edges = ray.data.from_items(
+        [
+            {"src": 1, "dst": 2},
+            {"src": 1, "dst": 3},
+            {"src": 1, "dst": 3},
+            {"src": 2, "dst": 3},
+            {"src": 3, "dst": 1},
+        ]
+    )
+    out = (
+        graph.pagerank_int(edges, iterations=2)
+        .to_pandas()
+        .set_index("node")["pr"]
+        .sort_index()
+    )
+    # iter1: r(1)=150000+850000, r(2)=150000+425000, r(3)=150000+425000+850000
+    # iter2: r(1)=150000+floor(1425000*85/100)=1361250
+    #        r(2)=150000+floor(1000000*85/200)=575000
+    #        r(3)=150000+425000+floor(575000*85/100)=1063750
+    assert out.to_dict() == {1: 1361250, 2: 575000, 3: 1063750}
