@@ -2903,6 +2903,91 @@ SELECT node, pr FROM r3
 """
 
 
+def q_jsonl_roundtrip(sf_dir: str):
+    """JSONL source coverage: documents → Dataset.write_json (JSONL
+    shards) → ray.data.read_json → per-doc char count.  The oracle
+    reads the original parquet, so a lossy writer/reader would
+    hash-mismatch."""
+    import uuid
+
+    out_dir = f"/tmp/ecc_rt/jsonl_{uuid.uuid4().hex}"
+    _read(sf_dir, "documents", ["doc_id", "text"]).write_json(out_dir)
+    rt = ray.data.read_json(out_dir)
+
+    def stats_of(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": pc.cast(t["doc_id"], pa.int64()),
+                "n_chars_rt": pc.cast(
+                    pc.utf8_length(t["text"]), pa.int64()
+                ),
+            }
+        )
+
+    return rt.map_batches(stats_of, batch_format="pyarrow")
+
+
+SQL_JSONL_ROUNDTRIP = """
+SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_rt FROM documents
+"""
+
+
+def q_csv_roundtrip(sf_dir: str):
+    """CSV source coverage: customer → Dataset.write_csv →
+    ray.data.read_csv → per-segment count + exact cents sum of
+    account balances; quoting/typing loss would change the result."""
+    import uuid
+
+    out_dir = f"/tmp/ecc_rt/csv_{uuid.uuid4().hex}"
+    _read(
+        sf_dir, "customer", ["c_custkey", "c_mktsegment", "c_acctbal"]
+    ).write_csv(out_dir)
+    rt = ray.data.read_csv(out_dir)
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = _cents(t["c_acctbal"])
+        g = pa.table(
+            {"c_mktsegment": t["c_mktsegment"], "cents": cents}
+        ).group_by("c_mktsegment").aggregate(
+            [("cents", "sum"), ("cents", "count")]
+        )
+        return pa.table(
+            {
+                "c_mktsegment": g["c_mktsegment"],
+                "ps": pc.cast(g["cents_sum"], pa.int64()),
+                "pn": pc.cast(g["cents_count"], pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        rt.map_batches(partial, batch_format="pyarrow")
+        .groupby("c_mktsegment")
+        .aggregate(
+            Sum("ps", alias_name="sum_cents"), Sum("pn", alias_name="n_cust")
+        )
+    )
+    return out.map_batches(
+        lambda t: pa.table(
+            {
+                "c_mktsegment": t["c_mktsegment"],
+                "sum_cents": pc.cast(t["sum_cents"], pa.int64()),
+                "n_cust": pc.cast(t["n_cust"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_CSV_ROUNDTRIP = """
+SELECT c_mktsegment,
+       CAST(sum(CAST(round(c_acctbal*100) AS BIGINT)) AS BIGINT) AS sum_cents,
+       CAST(count(*) AS BIGINT) AS n_cust
+FROM customer GROUP BY c_mktsegment
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -2948,6 +3033,8 @@ def queries() -> Dict[str, Callable]:
         "q_repetition": q_repetition,
         "q_decontaminate": q_decontaminate,
         "q_pagerank": q_pagerank,
+        "q_jsonl_roundtrip": q_jsonl_roundtrip,
+        "q_csv_roundtrip": q_csv_roundtrip,
         "q_tfidf": q_tfidf,
         "q_asof_join": q_asof_join,
         "q_redact": q_redact,
@@ -3040,6 +3127,8 @@ def _build_oracle_sql() -> Dict[str, str]:
         "q_repetition": SQL_REPETITION,
         "q_decontaminate": SQL_DECONTAMINATE,
         "q_pagerank": SQL_PAGERANK,
+        "q_jsonl_roundtrip": SQL_JSONL_ROUNDTRIP,
+        "q_csv_roundtrip": SQL_CSV_ROUNDTRIP,
         "q_tfidf": SQL_TFIDF,
         "q_asof_join": SQL_ASOF_JOIN,
         "q_redact": SQL_REDACT,
