@@ -2988,6 +2988,253 @@ FROM customer GROUP BY c_mktsegment
 """
 
 
+def q_cms_event_types(sf_dir: str):
+    """Count-Min sketch demo end-to-end: build the mergeable (depth=4,
+    width=64) register table over events.event_type with ONE bounded
+    exchange, then point-estimate every distinct type against its true
+    count.  est_n >= true_n always (CMS over-counts on collisions);
+    the md5 slot hashes make the DuckDB twin compute the identical
+    registers, so the whole sketch is hash-verified."""
+    from ray.data.aggregate import Count
+
+    ev = _read(sf_dir, "events", ["event_type"])
+    regs = {
+        (int(r["depth"]), int(r["slot"])): int(r["cnt"])
+        for r in stats.cms_registers(ev, "event_type").take_all()
+    }
+    true = ev.groupby("event_type").aggregate(Count(alias_name="true_n"))
+
+    def estimate(t: pa.Table) -> pa.Table:
+        est = [
+            stats.cms_estimate(regs, str(k))
+            for k in t["event_type"].to_pylist()
+        ]
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "true_n": pc.cast(t["true_n"], pa.int64()),
+                "est_n": pa.array(est, pa.int64()),
+            }
+        )
+
+    return true.map_batches(estimate, batch_format="pyarrow")
+
+
+SQL_CMS_EVENT_TYPES = """
+WITH d AS (SELECT unnest(range(4)) AS depth),
+reg AS (
+  SELECT d.depth,
+         CAST(CAST(('0x' || substr(md5('cms' || CAST(d.depth AS VARCHAR)
+                                   || event_type), 1, 16)) AS UBIGINT)
+              % 64 AS BIGINT) AS slot,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM events, d GROUP BY 1, 2
+),
+t AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS true_n FROM events GROUP BY 1
+),
+probe AS (
+  SELECT t.event_type, t.true_n, d.depth,
+         CAST(CAST(('0x' || substr(md5('cms' || CAST(d.depth AS VARCHAR)
+                                   || t.event_type), 1, 16)) AS UBIGINT)
+              % 64 AS BIGINT) AS slot
+  FROM t, d
+)
+SELECT p.event_type, any_value(p.true_n) AS true_n,
+       CAST(min(coalesce(reg.cnt, 0)) AS BIGINT) AS est_n
+FROM probe p LEFT JOIN reg ON reg.depth = p.depth AND reg.slot = p.slot
+GROUP BY p.event_type
+"""
+
+
+def q_rollup_revenue(sf_dir: str):
+    """GROUP BY ROLLUP(n_name, c_mktsegment) over order revenue:
+    finest level + per-nation subtotals + grand total in one result,
+    subtotal slots labeled '*ALL*'.  The orders side streams through
+    one broadcast custkey->(nation, segment) probe and one finest-
+    grain exchange; coarser levels re-aggregate the finest AGGREGATE
+    (<= |nation|x|segment| rows), never the raw orders."""
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey",
+                                     "c_mktsegment"])
+    nat = pa.Table.from_pandas(
+        _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas(),
+        preserve_index=False,
+    )
+    nmap = dict(
+        zip(nat["n_nationkey"].to_pylist(), nat["n_name"].to_pylist())
+    )
+    cmap_ref = ray.put(
+        {
+            int(r["c_custkey"]): (nmap[int(r["c_nationkey"])],
+                                  r["c_mktsegment"])
+            for r in cust.take_all()
+        }
+    )
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def attach(t: pa.Table) -> pa.Table:
+        cmap = ray.get(cmap_ref)
+        pairs = [cmap[int(k)] for k in t["o_custkey"].to_pylist()]
+        return pa.table(
+            {
+                "n_name": pa.array([p[0] for p in pairs], pa.string()),
+                "c_mktsegment": pa.array([p[1] for p in pairs], pa.string()),
+                "o_totalprice": t["o_totalprice"],
+            }
+        )
+
+    joined = orders.map_batches(attach, batch_format="pyarrow")
+    return relational.rollup_sum_cents(
+        joined, ["n_name", "c_mktsegment"], "o_totalprice"
+    )
+
+
+SQL_ROLLUP_REVENUE = """
+SELECT coalesce(n_name, '*ALL*') AS n_name,
+       coalesce(c_mktsegment, '*ALL*') AS c_mktsegment,
+       CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)
+         AS sum_cents,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY ROLLUP (n_name, c_mktsegment)
+"""
+
+
+def q_set_ops_custkeys(sf_dir: str):
+    """Distinct-set INTERSECT / EXCEPT in one pass: customers with
+    'F'-status orders vs customers with 'O'-status orders, classified
+    both / left_only / right_only.  Map-side per-batch dedup means the
+    single exchange moves distinct keys only."""
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderstatus"])
+
+    def status_filter(st: str):
+        def fn(t: pa.Table) -> pa.Table:
+            return t.filter(pc.equal(t["o_orderstatus"], st))
+
+        return fn
+
+    left = orders.map_batches(status_filter("F"), batch_format="pyarrow")
+    right = orders.map_batches(status_filter("O"), batch_format="pyarrow")
+    out = relational.set_compare(left, right, "o_custkey")
+
+    def cast_cols(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_custkey": pc.cast(t["o_custkey"], pa.int64()),
+                "op": t["op"],
+            }
+        )
+
+    return out.map_batches(cast_cols, batch_format="pyarrow")
+
+
+SQL_SET_OPS_CUSTKEYS = """
+WITH a AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'),
+     b AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O')
+SELECT CAST(coalesce(a.o_custkey, b.o_custkey) AS BIGINT) AS o_custkey,
+       CASE WHEN a.o_custkey IS NOT NULL AND b.o_custkey IS NOT NULL
+              THEN 'both'
+            WHEN a.o_custkey IS NOT NULL THEN 'left_only'
+            ELSE 'right_only' END AS op
+FROM a FULL JOIN b ON a.o_custkey = b.o_custkey
+"""
+
+
+def q_order_ranks(sf_dir: str):
+    """Ranking-window triple per customer: row_number / rank /
+    dense_rank of orders by (totalprice cents DESC, orderkey ASC),
+    keeping the top 3 rows per customer.  One key-partitioned
+    exchange; vectorized rank scans inside each group."""
+    out = windows.ranked_per_key(
+        _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"]),
+        key_col="o_custkey",
+        order_col_cents="o_totalprice",
+        id_col="o_orderkey",
+        k=3,
+    )
+
+    def cast_cols(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_custkey": pc.cast(t["o_custkey"], pa.int64()),
+                "o_orderkey": pc.cast(t["o_orderkey"], pa.int64()),
+                "cents": pc.cast(t["cents"], pa.int64()),
+                "rn": pc.cast(t["rn"], pa.int64()),
+                "rnk": pc.cast(t["rnk"], pa.int64()),
+                "dense_rnk": pc.cast(t["dense_rnk"], pa.int64()),
+            }
+        )
+
+    return out.map_batches(cast_cols, batch_format="pyarrow")
+
+
+SQL_ORDER_RANKS = """
+WITH o AS (
+  SELECT o_custkey, o_orderkey,
+         CAST(round(o_totalprice*100) AS BIGINT) AS cents
+  FROM orders
+),
+w AS (
+  SELECT o_custkey, o_orderkey, cents,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY cents DESC, o_orderkey) AS rn,
+         rank() OVER (PARTITION BY o_custkey ORDER BY cents DESC) AS rnk,
+         dense_rank() OVER (PARTITION BY o_custkey
+                            ORDER BY cents DESC) AS dense_rnk
+  FROM o
+)
+SELECT CAST(o_custkey AS BIGINT) AS o_custkey,
+       CAST(o_orderkey AS BIGINT) AS o_orderkey, cents,
+       CAST(rn AS BIGINT) AS rn, CAST(rnk AS BIGINT) AS rnk,
+       CAST(dense_rnk AS BIGINT) AS dense_rnk
+FROM w WHERE rn <= 3
+"""
+
+
+def q_doc_deciles(sf_dir: str):
+    """Quality-decile assignment: EXACT n_chars decile boundaries via
+    the distributed histogram-refinement selector (no global sort),
+    broadcast as 9 floats, then a vectorized searchsorted per batch —
+    decile = 1 + #{boundary < n_chars}.  The SQL twin recomputes the
+    same lower-rule boundaries via OFFSET selection."""
+    docs = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    qs = [i / 10 for i in range(1, 10)]
+    bnd = stats.quantiles_exact(docs, "n_chars", qs)["value"].to_pylist()
+    out = stats.bucket_by_boundaries(docs, "n_chars", bnd, out_col="decile")
+
+    def cast_cols(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": pc.cast(t["doc_id"], pa.int64()),
+                "n_chars": pc.cast(t["n_chars"], pa.int64()),
+                "decile": pc.cast(t["decile"], pa.int64()),
+            }
+        )
+
+    return out.map_batches(cast_cols, batch_format="pyarrow")
+
+
+SQL_DOC_DECILES = """
+WITH n AS (SELECT count(*) AS n FROM documents),
+s AS (
+  SELECT n_chars, row_number() OVER (ORDER BY n_chars) - 1 AS r
+  FROM documents
+),
+b AS (
+  SELECT i, s.n_chars AS bv
+  FROM (SELECT unnest(range(1, 10)) AS i), n, s
+  WHERE s.r = CAST(floor((CAST(i AS DOUBLE)/10) * (n.n - 1)) AS BIGINT)
+)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       CAST(d.n_chars AS BIGINT) AS n_chars,
+       CAST(1 + (SELECT count(*) FROM b WHERE b.bv < d.n_chars) AS BIGINT)
+         AS decile
+FROM documents d
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -3035,6 +3282,11 @@ def queries() -> Dict[str, Callable]:
         "q_pagerank": q_pagerank,
         "q_jsonl_roundtrip": q_jsonl_roundtrip,
         "q_csv_roundtrip": q_csv_roundtrip,
+        "q_cms_event_types": q_cms_event_types,
+        "q_rollup_revenue": q_rollup_revenue,
+        "q_set_ops_custkeys": q_set_ops_custkeys,
+        "q_order_ranks": q_order_ranks,
+        "q_doc_deciles": q_doc_deciles,
         "q_tfidf": q_tfidf,
         "q_asof_join": q_asof_join,
         "q_redact": q_redact,
@@ -3129,6 +3381,11 @@ def _build_oracle_sql() -> Dict[str, str]:
         "q_pagerank": SQL_PAGERANK,
         "q_jsonl_roundtrip": SQL_JSONL_ROUNDTRIP,
         "q_csv_roundtrip": SQL_CSV_ROUNDTRIP,
+        "q_cms_event_types": SQL_CMS_EVENT_TYPES,
+        "q_rollup_revenue": SQL_ROLLUP_REVENUE,
+        "q_set_ops_custkeys": SQL_SET_OPS_CUSTKEYS,
+        "q_order_ranks": SQL_ORDER_RANKS,
+        "q_doc_deciles": SQL_DOC_DECILES,
         "q_tfidf": SQL_TFIDF,
         "q_asof_join": SQL_ASOF_JOIN,
         "q_redact": SQL_REDACT,

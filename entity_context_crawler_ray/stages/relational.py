@@ -414,3 +414,133 @@ def salted_group_sum(
     return salted.groupby(key_col).aggregate(
         Sum("s", alias_name="sum_cents"), Sum("n", alias_name="n_rows")
     )
+
+
+def rollup_sum_cents(
+    ds: ray.data.Dataset,
+    key_cols: Sequence[str],
+    value_col: str,
+    all_label: str = "*ALL*",
+) -> pa.Table:
+    """SQL ``GROUP BY ROLLUP(key_cols)`` over an exact cents sum +
+    row count: the finest level plus every prefix subtotal up to the
+    grand total, subtotal key slots carrying ``all_label``.
+
+    Scale shape: ONE map-side partial per batch (Arrow group_by on
+    the finest key) and ONE keyed exchange at the finest granularity;
+    every coarser level is re-aggregated from the finest AGGREGATE
+    (bounded by key-combination cardinality, not corpus size), never
+    from the raw rows — the classic rollup-from-cube trick."""
+    import numpy as np
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    keys = list(key_cols)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.round(pc.multiply(pc.cast(batch[value_col], pa.float64()),
+                                 pa.scalar(100.0))),
+            pa.int64(),
+        )
+        t = pa.table(
+            {**{k: batch[k] for k in keys}, "cents": cents}
+        )
+        agg = t.group_by(keys).aggregate(
+            [("cents", "sum"), ("cents", "count")]
+        )
+        return pa.table(
+            {
+                **{k: agg[k] for k in keys},
+                "ps": pc.cast(agg["cents_sum"], pa.int64()),
+                "pn": pc.cast(agg["cents_count"], pa.int64()),
+            }
+        )
+
+    finest = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(keys)
+        .aggregate(Sum("ps", alias_name="sum_cents"),
+                   Sum("pn", alias_name="n_rows"))
+    )
+    base = pa.Table.from_pandas(finest.to_pandas(), preserve_index=False)
+
+    levels = [base]
+    for lvl in range(len(keys) - 1, -1, -1):
+        kept = keys[:lvl]
+        if kept:
+            agg = base.group_by(kept).aggregate(
+                [("sum_cents", "sum"), ("n_rows", "sum")]
+            )
+            cols = {k: agg[k] for k in kept}
+            n = agg.num_rows
+            s = pc.cast(agg["sum_cents_sum"], pa.int64())
+            c = pc.cast(agg["n_rows_sum"], pa.int64())
+        else:
+            n = 1
+            s = pa.array([pc.sum(base["sum_cents"]).as_py() or 0], pa.int64())
+            c = pa.array([pc.sum(base["n_rows"]).as_py() or 0], pa.int64())
+            cols = {}
+        for k in keys[lvl:]:
+            cols[k] = pa.array([all_label] * n, pa.string())
+        levels.append(
+            pa.table({**{k: cols[k] for k in keys}, "sum_cents": s,
+                      "n_rows": c})
+        )
+    return pa.concat_tables(levels)
+
+
+def set_compare(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    key_col: str,
+) -> ray.data.Dataset:
+    """Distinct-key set comparison — INTERSECT / EXCEPT / reverse
+    EXCEPT in one pass: returns (key, op) with op in
+    {'both', 'left_only', 'right_only'}.
+
+    Scale shape: each side is tagged with presence flags and
+    per-batch deduplicated map-side, so the single keyed exchange
+    moves DISTINCT keys only; one groupby-max then a vectorized
+    classify.  No sort, no join — the flags are the join."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Max
+
+    def tag(a: int, b: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            keys = batch[key_col].combine_chunks().unique()
+            n = len(keys)
+            return pa.table(
+                {
+                    key_col: keys,
+                    "in_a": pa.array([a] * n, pa.int64()),
+                    "in_b": pa.array([b] * n, pa.int64()),
+                }
+            )
+
+        return fn
+
+    tagged = left.select_columns([key_col]).map_batches(
+        tag(1, 0), batch_format="pyarrow"
+    ).union(
+        right.select_columns([key_col]).map_batches(
+            tag(0, 1), batch_format="pyarrow"
+        )
+    )
+    flags = tagged.groupby(key_col).aggregate(
+        Max("in_a", alias_name="a"), Max("in_b", alias_name="b")
+    )
+
+    def classify(batch: pa.Table) -> pa.Table:
+        a = batch["a"]
+        b = batch["b"]
+        both = pc.and_(pc.equal(a, 1), pc.equal(b, 1))
+        op = pc.if_else(
+            both,
+            pa.scalar("both"),
+            pc.if_else(pc.equal(a, 1), pa.scalar("left_only"),
+                       pa.scalar("right_only")),
+        )
+        return pa.table({key_col: batch[key_col], "op": op})
+
+    return flags.map_batches(classify, batch_format="pyarrow")

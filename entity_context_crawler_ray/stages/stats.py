@@ -329,6 +329,115 @@ def hll_registers(
     )
 
 
+def cms_registers(
+    ds: ray.data.Dataset,
+    col: str,
+    depth: int = 4,
+    width: int = 64,
+    salt: str = "cms",
+) -> ray.data.Dataset:
+    """Count-Min sketch register table for a column: a MERGEABLE
+    frequency sketch (Cormode & Muthukrishnan 2005) whose exchange is
+    at most ``depth × width`` rows per batch regardless of corpus
+    size.  Row-d hash = md5-u64 of ``salt + str(d) + str(value)`` mod
+    ``width`` (md5 so the DuckDB twin computes the identical slots);
+    register(d, slot) = count of values hashing there.  Registers
+    merge by SUM, so sketches of shards union for free; point
+    estimates (min over depth) upper-bound the true frequency.
+
+    Scale shape: one ``map_batches`` partial (Arrow group_by per
+    batch) then ONE (depth, slot)-keyed groupby-sum of ≤ depth×width
+    partial rows per batch — the classic sketch exchange."""
+    from ray.data.aggregate import Sum
+
+    if depth < 1 or width < 2:
+        raise ValueError("depth >= 1 and width >= 2 required")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vals = [str(v) for v in batch[col].to_pylist()]
+        n = len(vals)
+        if n == 0:
+            return pa.table(
+                {
+                    "depth": pa.array([], pa.int64()),
+                    "slot": pa.array([], pa.int64()),
+                    "pn": pa.array([], pa.int64()),
+                }
+            )
+        d_col = np.repeat(np.arange(depth, dtype=np.int64), n)
+        slots = np.concatenate(
+            [
+                np.fromiter(
+                    (_sample_u64(v, f"{salt}{d}") % width for v in vals),
+                    dtype=np.int64,
+                    count=n,
+                )
+                for d in range(depth)
+            ]
+        )
+        t = pa.table(
+            {
+                "depth": pa.array(d_col, pa.int64()),
+                "slot": pa.array(slots, pa.int64()),
+            }
+        )
+        agg = t.group_by(["depth", "slot"]).aggregate([("slot", "count")])
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "depth": agg["depth"],
+                "slot": agg["slot"],
+                "pn": pc.cast(agg["slot_count"], pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["depth", "slot"])
+        .aggregate(Sum("pn", alias_name="cnt"))
+    )
+
+
+def cms_estimate(
+    registers: dict, key: str, depth: int = 4, width: int = 64,
+    salt: str = "cms",
+) -> int:
+    """Point-estimate a key's frequency from a {(depth, slot): cnt}
+    dict as produced by :func:`cms_registers` — min over the depth
+    rows (absent slot = 0)."""
+    return min(
+        registers.get((d, _sample_u64(key, f"{salt}{d}") % width), 0)
+        for d in range(depth)
+    )
+
+
+def bucket_by_boundaries(
+    ds: ray.data.Dataset,
+    col: str,
+    boundaries: Sequence[float],
+    out_col: str = "bucket",
+) -> ray.data.Dataset:
+    """Assign every row the 1-based bucket ``1 + #{b in boundaries :
+    value > b}`` — the composition step that turns
+    :func:`quantiles_exact` output into a quality-decile label.  The
+    boundary list is tiny and ships inside the task closure; one
+    vectorized ``searchsorted`` per batch, no shuffle."""
+    bnd = np.asarray(sorted(float(b) for b in boundaries), dtype=np.float64)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        v = np.asarray(
+            batch[col].to_numpy(zero_copy_only=False), dtype=np.float64
+        )
+        # value > boundary  <=>  strictly-right insertion point
+        bucket = 1 + np.searchsorted(bnd, v, side="left")
+        return batch.append_column(
+            out_col, pa.array(bucket.astype(np.int64), pa.int64())
+        )
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
 def hll_estimate(registers: dict, b: int = 8) -> float:
     """Standard HLL estimate (with small-range correction) from a
     {bucket: register} dict as produced by :func:`hll_registers`;

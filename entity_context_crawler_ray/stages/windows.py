@@ -183,3 +183,51 @@ def cumulative_agg(
         .groupby(key_col)
         .map_groups(per_key, batch_format="pandas")
     )
+
+
+def ranked_per_key(
+    ds: ray.data.Dataset,
+    key_col: str,
+    order_col_cents: str,
+    id_col: str,
+    k: int = 3,
+) -> ray.data.Dataset:
+    """SQL ranking-window triple per key — ``row_number`` /
+    ``rank`` / ``dense_rank`` over (value DESC, id ASC) — keeping
+    rows with row_number <= k.
+
+    ``order_col_cents`` is a float money column ranked on its exact
+    integer cents so ties are well-defined.  One key-partitioned
+    exchange; per group a lexsort + two vectorized scans (no
+    per-row Python).  row_number tie-breaks by id; rank/dense_rank
+    depend on the value alone, so all three are
+    partition/order-independent."""
+    import numpy as np
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        cents = np.rint(g[order_col_cents].to_numpy() * 100).astype(np.int64)
+        ids = g[id_col].to_numpy()
+        order = np.lexsort((ids, -cents))
+        sc = cents[order]
+        n = len(sc)
+        new_val = np.r_[True, sc[1:] != sc[:-1]]
+        rn = np.arange(1, n + 1, dtype=np.int64)
+        rank = np.maximum.accumulate(np.where(new_val, rn, 0))
+        dense = np.cumsum(new_val).astype(np.int64)
+        keep = rn <= k
+        return pd.DataFrame(
+            {
+                key_col: g[key_col].iloc[0],
+                id_col: ids[order][keep],
+                "cents": sc[keep],
+                "rn": rn[keep],
+                "rnk": rank[keep],
+                "dense_rnk": dense[keep],
+            }
+        )
+
+    return (
+        ds.select_columns([key_col, id_col, order_col_cents])
+        .groupby(key_col)
+        .map_groups(per_key, batch_format="pandas")
+    )

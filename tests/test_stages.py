@@ -892,3 +892,104 @@ def test_pagerank_int_hand_computed():
     #        r(2)=150000+floor(1000000*85/200)=575000
     #        r(3)=150000+425000+floor(575000*85/100)=1063750
     assert out.to_dict() == {1: 1361250, 2: 575000, 3: 1063750}
+
+
+def test_cms_registers_merge_and_estimate():
+    from entity_context_crawler_ray.stages import stats
+
+    rows = [{"k": f"key{i % 7}"} for i in range(700)]
+    regs = stats.cms_registers(ray.data.from_items(rows), "k").to_pandas()
+    d = {(r.depth, r.slot): r.cnt for r in regs.itertuples()}
+    # every register row sums the full stream per depth
+    for dep in range(4):
+        assert sum(v for (dd, _), v in d.items() if dd == dep) == 700
+    # point estimate upper-bounds the true count, equals it sans collision
+    for i in range(7):
+        assert stats.cms_estimate(d, f"key{i}") >= 100
+    # mergeability: sketch(A ∪ B) == sum-merge(sketch(A), sketch(B))
+    a = stats.cms_registers(
+        ray.data.from_items(rows[:300]), "k"
+    ).to_pandas()
+    b = stats.cms_registers(
+        ray.data.from_items(rows[300:]), "k"
+    ).to_pandas()
+    merged: dict = {}
+    for frame in (a, b):
+        for r in frame.itertuples():
+            merged[(r.depth, r.slot)] = merged.get((r.depth, r.slot), 0) + r.cnt
+    assert merged == d
+
+
+def test_rollup_sum_cents_levels_consistent():
+    rows = [
+        {"g1": "x", "g2": "p", "v": 1.25},
+        {"g1": "x", "g2": "q", "v": 2.50},
+        {"g1": "y", "g2": "p", "v": 4.00},
+        {"g1": "x", "g2": "p", "v": 0.75},
+    ]
+    out = (
+        relational.rollup_sum_cents(
+            ray.data.from_items(rows), ["g1", "g2"], "v"
+        )
+        .to_pandas()
+        .set_index(["g1", "g2"])
+    )
+    assert out.loc[("x", "p"), "sum_cents"] == 200
+    assert out.loc[("x", "*ALL*"), "sum_cents"] == 450
+    assert out.loc[("y", "*ALL*"), "sum_cents"] == 400
+    assert out.loc[("*ALL*", "*ALL*"), "sum_cents"] == 850
+    assert out.loc[("*ALL*", "*ALL*"), "n_rows"] == 4
+    # 3 finest + 2 per-g1 subtotals + 1 grand total
+    assert len(out) == 6
+
+
+def test_set_compare_classifies():
+    left = ray.data.from_items([{"k": v} for v in [1, 2, 2, 3]])
+    right = ray.data.from_items([{"k": v} for v in [3, 4, 4]])
+    out = (
+        relational.set_compare(left, right, "k")
+        .to_pandas()
+        .set_index("k")["op"]
+        .sort_index()
+    )
+    assert out.to_dict() == {
+        1: "left_only", 2: "left_only", 3: "both", 4: "right_only"
+    }
+
+
+def test_ranked_per_key_matches_sql_semantics():
+    rows = [
+        {"k": "a", "id": 1, "v": 3.00},
+        {"k": "a", "id": 2, "v": 3.00},
+        {"k": "a", "id": 3, "v": 2.00},
+        {"k": "a", "id": 4, "v": 1.00},
+        {"k": "b", "id": 5, "v": 9.99},
+    ]
+    out = (
+        windows.ranked_per_key(
+            ray.data.from_items(rows), "k", "v", "id", k=3
+        )
+        .to_pandas()
+        .set_index("id")
+        .sort_index()
+    )
+    # ties 300,300 -> rn 1,2 (id order), rank 1,1, dense 1,1; next: rn3 rank3 dense2
+    assert out.loc[1, ["rn", "rnk", "dense_rnk"]].tolist() == [1, 1, 1]
+    assert out.loc[2, ["rn", "rnk", "dense_rnk"]].tolist() == [2, 1, 1]
+    assert out.loc[3, ["rn", "rnk", "dense_rnk"]].tolist() == [3, 3, 2]
+    assert 4 not in out.index  # rn 4 cut by k=3
+    assert out.loc[5, ["rn", "rnk", "dense_rnk"]].tolist() == [1, 1, 1]
+
+
+def test_bucket_by_boundaries_tie_goes_low():
+    from entity_context_crawler_ray.stages import stats
+
+    ds = ray.data.from_items([{"x": v} for v in [5, 10, 11, 20, 25]])
+    out = (
+        stats.bucket_by_boundaries(ds, "x", [10.0, 20.0], out_col="b")
+        .to_pandas()
+        .set_index("x")["b"]
+        .sort_index()
+    )
+    # value == boundary stays in the LOWER bucket (strict >)
+    assert out.to_dict() == {5: 1, 10: 1, 11: 2, 20: 2, 25: 3}
