@@ -3235,6 +3235,71 @@ FROM documents d
 """
 
 
+def q_kmeans_embeddings(sf_dir: str):
+    """Distributed integer k-means (k=4, 2 Lloyd iterations) over the
+    embeddings table — the semantic-clustering primitive behind
+    semantic dedup.  Exact integer arithmetic (round-half-away
+    quantization at scale 1000, floor-divide centroid updates) makes
+    the distributed result bit-identical to the unrolled SQL twin;
+    each iteration exchanges only K×D partial-sum rows."""
+    return similarity.kmeans_int(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]),
+        k=4,
+        iterations=2,
+    )
+
+
+def sql_q_kmeans(k: int = 4, iterations: int = 2, dim: int = 64) -> str:
+    """Unrolled SQL twin of :func:`q_kmeans_embeddings`: assignment =
+    argmin of integer squared distance (tie -> smallest cluster),
+    update = floor(sum/count) per (cluster, dim), empty clusters keep
+    their centroid via the LEFT JOIN coalesce."""
+    parts = [
+        f"""WITH p AS (
+  SELECT vec_id, i.i AS dim,
+         CAST(round(CAST(embedding[i.i + 1] AS DOUBLE) * 1000) AS BIGINT) AS v
+  FROM embeddings, (SELECT unnest(range({dim})) AS i) i
+),
+c0 AS (
+  SELECT t.cl, p.dim, p.v
+  FROM (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cl
+        FROM embeddings QUALIFY cl < {k}) t
+  JOIN p ON p.vec_id = t.vec_id
+)"""
+    ]
+    for it in range(1, iterations + 2):
+        parts.append(
+            f""", a{it} AS (
+  SELECT vec_id, cl FROM (
+    SELECT p.vec_id, c.cl,
+           row_number() OVER (PARTITION BY p.vec_id
+                              ORDER BY sum((p.v - c.v)*(p.v - c.v)), c.cl)
+             AS rn
+    FROM p JOIN c{it - 1} c ON c.dim = p.dim
+    GROUP BY p.vec_id, c.cl
+  ) WHERE rn = 1
+)"""
+        )
+        if it <= iterations:
+            parts.append(
+                f""", c{it} AS (
+  SELECT c.cl, c.dim, coalesce(u.nv, c.v) AS v
+  FROM c{it - 1} c LEFT JOIN (
+    SELECT a.cl, p.dim,
+           CAST(floor(CAST(sum(p.v) AS DOUBLE) / count(*)) AS BIGINT) AS nv
+    FROM a{it} a JOIN p ON p.vec_id = a.vec_id
+    GROUP BY a.cl, p.dim
+  ) u ON u.cl = c.cl AND u.dim = c.dim
+)"""
+            )
+    parts.append(
+        f"""
+SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(cl AS BIGINT) AS cluster
+FROM a{iterations + 1}"""
+    )
+    return "".join(parts)
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -3287,6 +3352,7 @@ def queries() -> Dict[str, Callable]:
         "q_set_ops_custkeys": q_set_ops_custkeys,
         "q_order_ranks": q_order_ranks,
         "q_doc_deciles": q_doc_deciles,
+        "q_kmeans_embeddings": q_kmeans_embeddings,
         "q_tfidf": q_tfidf,
         "q_asof_join": q_asof_join,
         "q_redact": q_redact,
@@ -3386,6 +3452,7 @@ def _build_oracle_sql() -> Dict[str, str]:
         "q_set_ops_custkeys": SQL_SET_OPS_CUSTKEYS,
         "q_order_ranks": SQL_ORDER_RANKS,
         "q_doc_deciles": SQL_DOC_DECILES,
+        "q_kmeans_embeddings": sql_q_kmeans(),
         "q_tfidf": SQL_TFIDF,
         "q_asof_join": SQL_ASOF_JOIN,
         "q_redact": SQL_REDACT,

@@ -178,3 +178,116 @@ def knn_ivf(
         .sort(["cosine", id_col], descending=[True, False])
         .limit(k)
     )
+
+
+def kmeans_int(
+    embeddings: ray.data.Dataset,
+    k: int = 4,
+    iterations: int = 2,
+    scale: int = 1000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> ray.data.Dataset:
+    """Distributed Lloyd's k-means over a quantized embedding column —
+    the semantic-clustering / semantic-dedup primitive — in EXACT
+    integer arithmetic so the result is bit-identical to an unrolled
+    SQL twin (same trick as stages/graph.py pagerank_int).
+
+    Vectors quantize to ``round_half_away(x*scale)`` int64; init
+    centroids are the ``k`` smallest-id vectors; each iteration is one
+    broadcast of the K×D centroid table + one (cluster, dim)-keyed
+    exchange of per-batch partial sums (≤ K×D rows per batch — never
+    the vectors), then a driver-side floor-divide over the ≤ K×D
+    aggregate.  Ties in the argmin go to the smallest cluster id;
+    empty clusters keep their previous centroid.  Scale shape: the
+    corpus streams through assignment ``iterations+1`` times, all
+    exchanges are sketch-sized."""
+    from ray.data.aggregate import Sum
+
+    def _quant(mat: np.ndarray) -> np.ndarray:
+        s = mat * scale
+        # half-away-from-zero, matching SQL round()
+        return np.trunc(s + np.copysign(0.5, s)).astype(np.int64)
+
+    # init: k smallest ids — per-batch partial top-k, tiny global sort
+    def smallest(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch[id_col].to_pylist())
+        vecs = batch[vec_col].to_pylist()
+        order = np.argsort(ids)[:k]
+        mats = [vecs[i] for i in order]
+        return pa.table(
+            {
+                id_col: pa.array(ids[order].tolist(), pa.int64()),
+                vec_col: pa.array(mats),
+            }
+        )
+
+    seed_rows = (
+        embeddings.map_batches(smallest, batch_format="pyarrow")
+        .sort(id_col)
+        .limit(k)
+        .take_all()
+    )
+    cent = _quant(np.stack([r[vec_col] for r in seed_rows]).astype(np.float64))
+
+    def make_assign(cent_ref):
+        def assign(batch: pa.Table):
+            c = ray.get(cent_ref)
+            ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
+            mat = _quant(
+                np.stack(batch[vec_col].to_pylist()).astype(np.float64)
+            )
+            diff = mat[:, None, :] - c[None, :, :]
+            dist = (diff * diff).sum(axis=2)
+            cl = dist.argmin(axis=1).astype(np.int64)  # first = smallest id
+            return ids, mat, cl
+
+        return assign
+
+    for _ in range(iterations):
+        cent_ref = ray.put(cent)
+        assign = make_assign(cent_ref)
+
+        def partial(batch: pa.Table) -> pa.Table:
+            _, mat, cl = assign(batch)
+            kk, dd = cent.shape
+            sums = np.zeros((kk, dd), dtype=np.int64)
+            np.add.at(sums, cl, mat)
+            counts = np.bincount(cl, minlength=kk).astype(np.int64)
+            live = counts > 0
+            n_live = int(live.sum())
+            return pa.table(
+                {
+                    "cl": pa.array(
+                        np.repeat(np.arange(kk)[live], dd), pa.int64()
+                    ),
+                    "dim": pa.array(np.tile(np.arange(dd), n_live), pa.int64()),
+                    "s": pa.array(sums[live].reshape(-1), pa.int64()),
+                    "n": pa.array(np.repeat(counts[live], dd), pa.int64()),
+                }
+            )
+
+        agg = (
+            embeddings.map_batches(partial, batch_format="pyarrow")
+            .groupby(["cl", "dim"])
+            .aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n"))
+            .take_all()
+        )
+        new_cent = cent.copy()  # empty cluster keeps its centroid
+        for r in agg:
+            new_cent[int(r["cl"]), int(r["dim"])] = int(r["s"]) // int(r["n"])
+        cent = new_cent
+
+    final_ref = ray.put(cent)
+    final_assign = make_assign(final_ref)
+
+    def emit(batch: pa.Table) -> pa.Table:
+        ids, _, cl = final_assign(batch)
+        return pa.table(
+            {
+                id_col: pa.array(ids, pa.int64()),
+                "cluster": pa.array(cl, pa.int64()),
+            }
+        )
+
+    return embeddings.map_batches(emit, batch_format="pyarrow")

@@ -993,3 +993,34 @@ def test_bucket_by_boundaries_tie_goes_low():
     )
     # value == boundary stays in the LOWER bucket (strict >)
     assert out.to_dict() == {5: 1, 10: 1, 11: 2, 20: 2, 25: 3}
+
+
+def test_kmeans_int_hand_computed():
+    from entity_context_crawler_ray.stages import similarity
+
+    # 1-D points at 0, 1, 10, 11 (scale 1000) with k=2 seeded from the
+    # two smallest ids (0.0 and 10.0): converges to centroids 500, 10500
+    rows = [
+        {"vec_id": 1, "embedding": [0.0]},
+        {"vec_id": 2, "embedding": [10.0]},
+        {"vec_id": 3, "embedding": [1.0]},
+        {"vec_id": 4, "embedding": [11.0]},
+    ]
+    out = (
+        similarity.kmeans_int(ray.data.from_items(rows), k=2, iterations=2)
+        .to_pandas()
+        .set_index("vec_id")["cluster"]
+        .sort_index()
+    )
+    assert out.to_dict() == {1: 0, 2: 1, 3: 0, 4: 1}
+    # equidistant point ties to the SMALLER cluster id
+    rows2 = rows + [{"vec_id": 5, "embedding": [5.5]}]
+    out2 = (
+        similarity.kmeans_int(ray.data.from_items(rows2), k=2, iterations=0)
+        .to_pandas()
+        .set_index("vec_id")["cluster"]
+        .sort_index()
+    )
+    # iterations=0: assign straight from seeds 0 and 10000; 5500 is
+    # nearer 10000? no: |5500-0|=5500 > |5500-10000|=4500 -> cluster 1
+    assert out2.to_dict() == {1: 0, 2: 1, 3: 0, 4: 1, 5: 1}
