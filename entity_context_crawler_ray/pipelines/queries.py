@@ -3249,11 +3249,12 @@ def q_kmeans_embeddings(sf_dir: str):
     )
 
 
-def sql_q_kmeans(k: int = 4, iterations: int = 2, dim: int = 64) -> str:
-    """Unrolled SQL twin of :func:`q_kmeans_embeddings`: assignment =
-    argmin of integer squared distance (tie -> smallest cluster),
-    update = floor(sum/count) per (cluster, dim), empty clusters keep
-    their centroid via the LEFT JOIN coalesce."""
+def _sql_kmeans_chain(k: int, iterations: int, dim: int) -> str:
+    """Shared unrolled k-means CTE chain: assignment = argmin of
+    integer squared distance (tie -> smallest cluster), update =
+    floor(sum/count) per (cluster, dim), empty clusters keep their
+    centroid via the LEFT JOIN coalesce.  The final assignment CTE is
+    ``a{iterations+1}``."""
     parts = [
         f"""WITH p AS (
   SELECT vec_id, i.i AS dim,
@@ -3292,12 +3293,53 @@ c0 AS (
   ) u ON u.cl = c.cl AND u.dim = c.dim
 )"""
             )
-    parts.append(
-        f"""
+    return "".join(parts)
+
+
+def sql_q_kmeans(k: int = 4, iterations: int = 2, dim: int = 64) -> str:
+    """Unrolled SQL twin of :func:`q_kmeans_embeddings`."""
+    return (
+        _sql_kmeans_chain(k, iterations, dim)
+        + f"""
 SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(cl AS BIGINT) AS cluster
 FROM a{iterations + 1}"""
     )
-    return "".join(parts)
+
+
+def q_semantic_dedup(sf_dir: str):
+    """SemDeDup end-to-end: k-means blocking (k=4, 2 iterations) +
+    within-cluster cosine >= 0.40 against any smaller id -> dup flag.
+    The SQL twin replays the unrolled k-means chain, then joins
+    same-cluster pairs through DuckDB's list_cosine_similarity."""
+    return dedup.semantic_dedup(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]),
+        k=4,
+        iterations=2,
+        threshold=0.40,
+    )
+
+
+def sql_q_semantic_dedup(
+    k: int = 4, iterations: int = 2, dim: int = 64, threshold: float = 0.40
+) -> str:
+    final = f"a{iterations + 1}"
+    return (
+        _sql_kmeans_chain(k, iterations, dim)
+        + f""", dups AS (
+  SELECT DISTINCT xb.vec_id
+  FROM {final} xa
+  JOIN {final} xb ON xb.cl = xa.cl AND xb.vec_id > xa.vec_id
+  JOIN embeddings ea ON ea.vec_id = xa.vec_id
+  JOIN embeddings eb ON eb.vec_id = xb.vec_id
+  WHERE list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                               CAST(eb.embedding AS DOUBLE[]))
+          >= {threshold}
+)
+SELECT CAST(a.vec_id AS BIGINT) AS vec_id,
+       CAST(a.cl AS BIGINT) AS cluster,
+       CAST(CASE WHEN d.vec_id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS dup
+FROM {final} a LEFT JOIN dups d ON d.vec_id = a.vec_id"""
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -3353,6 +3395,7 @@ def queries() -> Dict[str, Callable]:
         "q_order_ranks": q_order_ranks,
         "q_doc_deciles": q_doc_deciles,
         "q_kmeans_embeddings": q_kmeans_embeddings,
+        "q_semantic_dedup": q_semantic_dedup,
         "q_tfidf": q_tfidf,
         "q_asof_join": q_asof_join,
         "q_redact": q_redact,
@@ -3453,6 +3496,7 @@ def _build_oracle_sql() -> Dict[str, str]:
         "q_order_ranks": SQL_ORDER_RANKS,
         "q_doc_deciles": SQL_DOC_DECILES,
         "q_kmeans_embeddings": sql_q_kmeans(),
+        "q_semantic_dedup": sql_q_semantic_dedup(),
         "q_tfidf": SQL_TFIDF,
         "q_asof_join": SQL_ASOF_JOIN,
         "q_redact": SQL_REDACT,

@@ -741,3 +741,59 @@ def connected_components(
         lambda t: pa.table({id_col: t["u"], "component": t["label"]}),
         batch_format="pyarrow",
     )
+
+
+def semantic_dedup(
+    embeddings: ray.data.Dataset,
+    k: int = 4,
+    iterations: int = 2,
+    threshold: float = 0.40,
+    scale: int = 1000,
+    max_cluster_rows: int = 100_000,
+) -> ray.data.Dataset:
+    """SemDeDup (Abbas et al. 2023) shape: k-means-cluster the
+    embedding space, then mark near-duplicates WITHIN each cluster
+    only — the cluster assignment is the blocking key that makes
+    pairwise cosine affordable.  A vector is a duplicate iff some
+    SMALLER-id vector in its cluster has cosine >= threshold, so
+    exactly one canonical (the smallest id) survives per dup chain.
+    Returns (vec_id, cluster, dup).
+
+    Scale shape: centroid training exchanges only K×D partial sums
+    (stages/similarity.py kmeans_centroids); the single corpus-wide
+    shuffle is the cluster groupby; within-cluster work is O(|c|²),
+    so ``k`` must scale with the corpus (clusters of ~1k vectors).
+    Groups larger than ``max_cluster_rows`` raise rather than silently
+    quadratically blow up."""
+    from .similarity import _normalize, assign_clusters, kmeans_centroids
+
+    cent = kmeans_centroids(embeddings, k, iterations, scale)
+    assigned = assign_clusters(embeddings, cent, scale, keep_vec=True)
+
+    def cluster_dups(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) > max_cluster_rows:
+            raise ValueError(
+                f"semantic_dedup cluster has {len(g)} rows > "
+                f"max_cluster_rows={max_cluster_rows}; raise k so "
+                f"clusters stay small enough for pairwise cosine"
+            )
+        ids = g["vec_id"].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        mat = _normalize(
+            np.stack(g["embedding"].to_numpy()[order]).astype(np.float64)
+        )
+        sims = mat @ mat.T
+        # dup[j] = exists i<j (id order) with cosine >= threshold
+        dup = (np.triu(sims >= threshold, 1)).any(axis=0)
+        return pd.DataFrame(
+            {
+                "vec_id": ids.astype(np.int64),
+                "cluster": np.int64(g["cluster"].iloc[0]),
+                "dup": dup.astype(np.int64),
+            }
+        )
+
+    return assigned.groupby("cluster").map_groups(
+        cluster_dups, batch_format="pandas"
+    )

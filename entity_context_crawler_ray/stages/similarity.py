@@ -180,18 +180,23 @@ def knn_ivf(
     )
 
 
-def kmeans_int(
+def quantize_half_away(mat: np.ndarray, scale: int) -> np.ndarray:
+    """``round_half_away(x*scale)`` as int64 — matches SQL round()."""
+    s = mat * scale
+    return np.trunc(s + np.copysign(0.5, s)).astype(np.int64)
+
+
+def kmeans_centroids(
     embeddings: ray.data.Dataset,
     k: int = 4,
     iterations: int = 2,
     scale: int = 1000,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-) -> ray.data.Dataset:
-    """Distributed Lloyd's k-means over a quantized embedding column —
-    the semantic-clustering / semantic-dedup primitive — in EXACT
-    integer arithmetic so the result is bit-identical to an unrolled
-    SQL twin (same trick as stages/graph.py pagerank_int).
+) -> np.ndarray:
+    """Train distributed Lloyd's k-means over a quantized embedding
+    column in EXACT integer arithmetic (same trick as stages/graph.py
+    pagerank_int) and return the K×D int64 centroid matrix.
 
     Vectors quantize to ``round_half_away(x*scale)`` int64; init
     centroids are the ``k`` smallest-id vectors; each iteration is one
@@ -200,14 +205,12 @@ def kmeans_int(
     the vectors), then a driver-side floor-divide over the ≤ K×D
     aggregate.  Ties in the argmin go to the smallest cluster id;
     empty clusters keep their previous centroid.  Scale shape: the
-    corpus streams through assignment ``iterations+1`` times, all
+    corpus streams through assignment ``iterations`` times, all
     exchanges are sketch-sized."""
     from ray.data.aggregate import Sum
 
     def _quant(mat: np.ndarray) -> np.ndarray:
-        s = mat * scale
-        # half-away-from-zero, matching SQL round()
-        return np.trunc(s + np.copysign(0.5, s)).astype(np.int64)
+        return quantize_half_away(mat, scale)
 
     # init: k smallest ids — per-batch partial top-k, tiny global sort
     def smallest(batch: pa.Table) -> pa.Table:
@@ -278,16 +281,51 @@ def kmeans_int(
             new_cent[int(r["cl"]), int(r["dim"])] = int(r["s"]) // int(r["n"])
         cent = new_cent
 
-    final_ref = ray.put(cent)
-    final_assign = make_assign(final_ref)
+    return cent
+
+
+def assign_clusters(
+    embeddings: ray.data.Dataset,
+    cent: np.ndarray,
+    scale: int = 1000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    keep_vec: bool = False,
+) -> ray.data.Dataset:
+    """Assign every vector its nearest trained centroid (integer
+    squared distance, tie -> smallest cluster id).  One broadcast of
+    the K×D centroid matrix, no shuffle."""
+    cent_ref = ray.put(cent)
 
     def emit(batch: pa.Table) -> pa.Table:
-        ids, _, cl = final_assign(batch)
-        return pa.table(
-            {
-                id_col: pa.array(ids, pa.int64()),
-                "cluster": pa.array(cl, pa.int64()),
-            }
+        c = ray.get(cent_ref)
+        ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
+        mat = quantize_half_away(
+            np.stack(batch[vec_col].to_pylist()).astype(np.float64), scale
         )
+        diff = mat[:, None, :] - c[None, :, :]
+        cl = (diff * diff).sum(axis=2).argmin(axis=1).astype(np.int64)
+        cols = {
+            id_col: pa.array(ids, pa.int64()),
+            "cluster": pa.array(cl, pa.int64()),
+        }
+        if keep_vec:
+            cols[vec_col] = batch[vec_col]
+        return pa.table(cols)
 
     return embeddings.map_batches(emit, batch_format="pyarrow")
+
+
+def kmeans_int(
+    embeddings: ray.data.Dataset,
+    k: int = 4,
+    iterations: int = 2,
+    scale: int = 1000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> ray.data.Dataset:
+    """(vec_id, cluster) after :func:`kmeans_centroids` training plus
+    one final broadcast-assignment pass — bit-identical to the
+    unrolled SQL twin (queries.py sql_q_kmeans)."""
+    cent = kmeans_centroids(embeddings, k, iterations, scale, id_col, vec_col)
+    return assign_clusters(embeddings, cent, scale, id_col, vec_col)

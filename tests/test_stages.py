@@ -1024,3 +1024,31 @@ def test_kmeans_int_hand_computed():
     # iterations=0: assign straight from seeds 0 and 10000; 5500 is
     # nearer 10000? no: |5500-0|=5500 > |5500-10000|=4500 -> cluster 1
     assert out2.to_dict() == {1: 0, 2: 1, 3: 0, 4: 1, 5: 1}
+
+
+def test_semantic_dedup_marks_within_cluster_only():
+    # two tight groups far apart; near-identical vectors inside each
+    rows = [
+        {"vec_id": 1, "embedding": [1.0, 0.0]},
+        {"vec_id": 2, "embedding": [0.999, 0.01]},   # ~dup of 1
+        {"vec_id": 3, "embedding": [-1.0, 0.0]},
+        {"vec_id": 4, "embedding": [-0.999, -0.01]},  # ~dup of 3
+        {"vec_id": 5, "embedding": [0.0, 1.0]},       # alone
+    ]
+    out = (
+        dedup.semantic_dedup(
+            ray.data.from_items(rows), k=2, iterations=2, threshold=0.99
+        )
+        .to_pandas()
+        .set_index("vec_id")
+        .sort_index()
+    )
+    assert out["dup"].to_dict() == {1: 0, 2: 1, 3: 0, 4: 1, 5: 0}
+    # smallest id in each dup chain survives; clusters separate the groups
+    assert out.loc[1, "cluster"] != out.loc[3, "cluster"]
+    # oversized-cluster guard raises instead of going quadratic
+    with pytest.raises(Exception, match="max_cluster_rows"):
+        dedup.semantic_dedup(
+            ray.data.from_items(rows), k=1, iterations=0,
+            max_cluster_rows=2,
+        ).to_pandas()
