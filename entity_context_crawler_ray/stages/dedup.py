@@ -22,9 +22,15 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
-from ..functions.hashing import minhash_params, minhash_signature, stable_hash64
+from ..functions.hashing import (
+    minhash_params,
+    minhash_signature,
+    stable_hash64,
+    stable_hash64_array,
+)
 
 _WORD_RE = re.compile(r"[A-Za-z0-9_]+")
+_MASK64_U64 = np.uint64((1 << 64) - 1)
 
 
 def _text_hash(t: str) -> str:
@@ -126,8 +132,16 @@ class MinHashLSH:
     num_perm permutations split into ``bands`` bands of r rows each;
     docs sharing any band bucket are candidates.  The classic S-curve:
     P(candidate) = 1 - (1 - j^r)^bands.  The band id is FOLDED into
-    one int64 ``band_key`` (hash of band_id ‖ signature chunk), so the
-    downstream exchange moves a single fixed-width column."""
+    one int64 ``band_key`` (odd-multiplier polynomial over the
+    signature chunk + a per-band salt), so the downstream exchange
+    moves a single fixed-width column.
+
+    Hot path is fully vectorized: token u64 hashes come from a
+    per-actor cache (blake2b runs once per DISTINCT token, not per
+    occurrence), shingle hashes are a numpy polynomial fold over the
+    batch-concatenated token array, and per-doc signature minima use
+    one ``minimum.reduceat`` over segment offsets — no per-doc Python
+    in the common case."""
 
     def __init__(self, num_perm: int = 64, bands: int = 16, shingle_n: int = 3):
         assert num_perm % bands == 0
@@ -135,36 +149,98 @@ class MinHashLSH:
         self.bands = bands
         self.rows_per_band = num_perm // bands
         self.shingle_n = shingle_n
+        self._token_cache: dict = {}
+        # odd multipliers: position-mixers for shingle / band folding
+        self._sh_mult = np.array(
+            [stable_hash64("shingle-fold", i) | 1 for i in range(shingle_n)],
+            dtype=np.uint64,
+        )
+        self._band_mult = np.array(
+            [stable_hash64("band-fold", i) | 1
+             for i in range(self.rows_per_band)],
+            dtype=np.uint64,
+        )
+        self._band_salt = np.array(
+            [stable_hash64("band-salt", bi) for bi in range(bands)],
+            dtype=np.uint64,
+        )
+
+    def _token_hashes(self, tokens: List[str]) -> np.ndarray:
+        cache = self._token_cache
+        new = [t for t in tokens if t not in cache]
+        if new:
+            new = list(dict.fromkeys(new))
+            for t, h in zip(new, stable_hash64_array(new, salt="tok")):
+                cache[t] = int(h)
+        return np.fromiter(
+            (cache[t] for t in tokens), dtype=np.uint64, count=len(tokens)
+        )
+
+    def _doc_shingles(self, tokens: List[str]) -> np.ndarray:
+        """uint64 shingle hashes of one doc: polynomial fold of each
+        n-token window (same word_shingles windowing: a doc shorter
+        than n yields ONE shingle over all its words)."""
+        h = self._token_hashes(tokens)
+        n = self.shingle_n
+        with np.errstate(over="ignore"):
+            if len(h) >= n:
+                w = len(h) - n + 1
+                out = np.zeros(w, dtype=np.uint64)
+                for k in range(n):
+                    out += self._sh_mult[k] * h[k : k + w]
+                return out
+            if len(h):
+                acc = np.uint64(0)
+                for k in range(len(h)):
+                    acc += self._sh_mult[k % n] * h[k]
+                return np.array([acc], dtype=np.uint64)
+        return np.empty(0, dtype=np.uint64)
 
     def signature(self, text: str) -> np.ndarray:
-        sh = word_shingles(text, self.shingle_n)
-        hashes = np.array(
-            [stable_hash64("shingle", s) for s in sh], dtype=np.uint64
+        return minhash_signature(
+            self._doc_shingles(_WORD_RE.findall(text)), self.a, self.b
         )
-        return minhash_signature(hashes, self.a, self.b)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids, band_keys = [], []
-        for doc_id, text in zip(
-            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
-        ):
-            sig = self.signature(text)
-            for b in range(self.bands):
-                chunk = sig[b * self.rows_per_band : (b + 1) * self.rows_per_band]
-                ids.append(doc_id)
-                band_keys.append(
-                    int.from_bytes(
-                        hashlib.blake2b(
-                            b.to_bytes(4, "big") + chunk.tobytes(), digest_size=8
-                        ).digest(),
-                        "big",
-                    )
-                    - (1 << 63)
+        texts = batch["text"].to_pylist()
+        n_docs = len(texts)
+        if n_docs == 0:
+            return pa.table(
+                {
+                    "doc_id": batch["doc_id"],
+                    "band_key": pa.array([], pa.int64()),
+                }
+            )
+        per_doc = [self._doc_shingles(_WORD_RE.findall(t)) for t in texts]
+        counts = np.array([len(s) for s in per_doc], dtype=np.int64)
+        nonempty = np.flatnonzero(counts)
+        sig = np.full((len(self.a), n_docs), _MASK64_U64, dtype=np.uint64)
+        if len(nonempty):
+            allsh = np.concatenate([per_doc[i] for i in nonempty])
+            starts = np.concatenate(
+                ([0], np.cumsum(counts[nonempty])[:-1])
+            )
+            with np.errstate(over="ignore"):
+                perms = (
+                    self.a[:, None] * allsh[None, :] + self.b[:, None]
                 )
+            sig[:, nonempty] = np.minimum.reduceat(perms, starts, axis=1)
+        # fold each band's r signature rows into one salted int64 key
+        chunk = sig.reshape(self.bands, self.rows_per_band, n_docs)
+        with np.errstate(over="ignore"):
+            keys = (
+                (chunk * self._band_mult[None, :, None]).sum(
+                    axis=1, dtype=np.uint64
+                )
+                + self._band_salt[:, None]
+            )
+        # doc-major order; reinterpret bits as int64 for the exchange
+        flat = keys.T.reshape(-1).view(np.int64)
+        idx = np.repeat(np.arange(n_docs), self.bands)
         return pa.table(
             {
-                "doc_id": pa.array(ids),
-                "band_key": pa.array(band_keys, pa.int64()),
+                "doc_id": batch["doc_id"].take(pa.array(idx)),
+                "band_key": pa.array(flat, pa.int64()),
             }
         )
 
