@@ -3342,6 +3342,70 @@ FROM {final} a LEFT JOIN dups d ON d.vec_id = a.vec_id"""
     )
 
 
+def q_knn_ivf_kmeans(sf_dir: str):
+    """IVF-Flat with TRAINED partitions: integer k-means (4 clusters,
+    2 iterations), probe the 2 centroids nearest the vec_id=0 query,
+    exact cosine top-20 within the probed partitions only.  The SQL
+    twin replays the unrolled k-means chain and the same centroid
+    ranking, so partition membership — the approximate part — is
+    hash-verified, not just the final ranking."""
+    out = similarity.knn_ivf_kmeans(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]),
+        _query_vec(sf_dir),
+        k=20,
+        n_clusters=4,
+        iterations=2,
+        n_probe=2,
+    )
+
+    def round_sim(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "vec_id": pc.cast(t["vec_id"], pa.int64()),
+                "cosine_r": pc.round(t["cosine"], 4),
+            }
+        )
+
+    return out.map_batches(round_sim, batch_format="pyarrow")
+
+
+def sql_q_knn_ivf_kmeans(
+    k: int = 20,
+    n_clusters: int = 4,
+    iterations: int = 2,
+    dim: int = 64,
+    n_probe: int = 2,
+) -> str:
+    final_c = f"c{iterations}"
+    final_a = f"a{iterations + 1}"
+    return (
+        _sql_kmeans_chain(n_clusters, iterations, dim)
+        + f""", qv AS (SELECT dim, v FROM p WHERE vec_id = 0),
+probe AS (
+  SELECT cl FROM (
+    SELECT c.cl,
+           row_number() OVER (ORDER BY sum((c.v - q.v)*(c.v - q.v)), c.cl)
+             AS rn
+    FROM {final_c} c JOIN qv q ON q.dim = c.dim
+    GROUP BY c.cl
+  ) WHERE rn <= {n_probe}
+),
+qe AS (SELECT embedding AS e FROM embeddings WHERE vec_id = 0)
+SELECT CAST(x.vec_id AS BIGINT) AS vec_id,
+       round(CAST(list_cosine_similarity(
+                CAST(x.embedding AS DOUBLE[]),
+                CAST((SELECT e FROM qe) AS DOUBLE[])) AS DOUBLE), 4)
+         AS cosine_r
+FROM embeddings x
+JOIN {final_a} a ON a.vec_id = x.vec_id
+WHERE a.cl IN (SELECT cl FROM probe)
+ORDER BY list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+                                CAST((SELECT e FROM qe) AS DOUBLE[])) DESC,
+         x.vec_id
+LIMIT {k}"""
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -3396,6 +3460,7 @@ def queries() -> Dict[str, Callable]:
         "q_doc_deciles": q_doc_deciles,
         "q_kmeans_embeddings": q_kmeans_embeddings,
         "q_semantic_dedup": q_semantic_dedup,
+        "q_knn_ivf_kmeans": q_knn_ivf_kmeans,
         "q_tfidf": q_tfidf,
         "q_asof_join": q_asof_join,
         "q_redact": q_redact,
@@ -3497,6 +3562,7 @@ def _build_oracle_sql() -> Dict[str, str]:
         "q_doc_deciles": SQL_DOC_DECILES,
         "q_kmeans_embeddings": sql_q_kmeans(),
         "q_semantic_dedup": sql_q_semantic_dedup(),
+        "q_knn_ivf_kmeans": sql_q_knn_ivf_kmeans(),
         "q_tfidf": SQL_TFIDF,
         "q_asof_join": SQL_ASOF_JOIN,
         "q_redact": SQL_REDACT,

@@ -329,3 +329,68 @@ def kmeans_int(
     unrolled SQL twin (queries.py sql_q_kmeans)."""
     cent = kmeans_centroids(embeddings, k, iterations, scale, id_col, vec_col)
     return assign_clusters(embeddings, cent, scale, id_col, vec_col)
+
+
+def knn_ivf_kmeans(
+    embeddings: ray.data.Dataset,
+    query: Sequence[float],
+    k: int = 20,
+    n_clusters: int = 4,
+    iterations: int = 2,
+    n_probe: int = 2,
+    scale: int = 1000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> ray.data.Dataset:
+    """IVF with TRAINED partitions: k-means-cluster the corpus
+    (integer-exact, :func:`kmeans_centroids`), rank centroids by
+    integer squared distance to the quantized query, and scan only the
+    ``n_probe`` nearest clusters with exact cosine — the classic
+    IVF-Flat trade (recall vs a ~n_clusters/n_probe scan reduction).
+    Returns exact cosine top-k within the probed partitions;
+    deterministic tie-breaks everywhere (centroid ties -> smaller
+    cluster id, result ties -> smaller vec_id)."""
+    cent = kmeans_centroids(
+        embeddings, n_clusters, iterations, scale, id_col, vec_col
+    )
+    q = np.asarray(query, dtype=np.float64)
+    qi = quantize_half_away(q, scale)
+    d = ((cent - qi[None, :]) ** 2).sum(axis=1)
+    probe = set(np.lexsort((np.arange(len(d)), d))[:n_probe].tolist())
+    qn = q / max(np.linalg.norm(q), 1e-12)
+    cent_ref = ray.put(cent)
+    q_ref = ray.put(qn)
+
+    def score(batch: pa.Table) -> pa.Table:
+        c = ray.get(cent_ref)
+        qv = ray.get(q_ref)
+        ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
+        raw = np.stack(batch[vec_col].to_pylist()).astype(np.float64)
+        mat_i = quantize_half_away(raw, scale)
+        diff = mat_i[:, None, :] - c[None, :, :]
+        cl = (diff * diff).sum(axis=2).argmin(axis=1)
+        mask = np.isin(cl, list(probe))
+        ids, raw = ids[mask], raw[mask]
+        if len(ids) == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "cosine": pa.array([], pa.float64()),
+                }
+            )
+        sims = _normalize(raw) @ qv
+        if len(ids) > k:
+            part = np.argpartition(-sims, k)[:k]
+            ids, sims = ids[part], sims[part]
+        return pa.table(
+            {
+                id_col: pa.array(ids.tolist(), pa.int64()),
+                "cosine": pa.array(sims.tolist(), pa.float64()),
+            }
+        )
+
+    return (
+        embeddings.map_batches(score, batch_format="pyarrow")
+        .sort(["cosine", id_col], descending=[True, False])
+        .limit(k)
+    )

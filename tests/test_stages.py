@@ -1052,3 +1052,25 @@ def test_semantic_dedup_marks_within_cluster_only():
             ray.data.from_items(rows), k=1, iterations=0,
             max_cluster_rows=2,
         ).to_pandas()
+
+
+def test_knn_ivf_kmeans_probes_subset_and_recalls_neighbors():
+    from entity_context_crawler_ray.stages import similarity
+
+    # two far-apart groups; query sits in group A -> probing 1 of 2
+    # clusters must return only group-A ids, nearest first
+    rows = (
+        [{"vec_id": i, "embedding": [1.0, 0.01 * i]} for i in range(5)]
+        + [{"vec_id": 10 + i, "embedding": [-1.0, -0.01 * i]} for i in range(5)]
+    )
+    out = (
+        similarity.knn_ivf_kmeans(
+            ray.data.from_items(rows), [1.0, 0.0], k=3,
+            n_clusters=2, iterations=2, n_probe=1,
+        )
+        .to_pandas()
+    )
+    assert len(out) == 3
+    assert set(out["vec_id"]) <= set(range(5))
+    assert out["vec_id"].iloc[0] == 0  # exact match ranks first
+    assert (out["cosine"].diff().dropna() <= 1e-12).all()
