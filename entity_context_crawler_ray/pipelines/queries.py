@@ -3406,6 +3406,101 @@ LIMIT {k}"""
     )
 
 
+def q_bloom_custkeys(sf_dir: str):
+    """Bloom-filter build + probe end-to-end: the distinct bit set of
+    'F'-status order custkeys (m=4096, k=3, md5 positions) probes
+    EVERY customer — bloom_hit may false-positive but never misses a
+    true member (bloom_hit >= true_hit row-wise, the property the
+    oracle verifies cell-exactly).  The filter ships as one 4 KiB
+    broadcast standing in for the whole key set; true membership
+    comes from one distinct-key presence-flag exchange."""
+    from ray.data.aggregate import Max
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderstatus"])
+    f_orders = orders.map_batches(
+        lambda t: t.filter(pc.equal(t["o_orderstatus"], "F")),
+        batch_format="pyarrow",
+    )
+    m_bits, k_hashes = 4096, 3
+    bits = np.zeros(m_bits, dtype=bool)
+    for r in stats.bloom_bits(
+        f_orders, "o_custkey", m_bits=m_bits, k_hashes=k_hashes
+    ).take_all():
+        bits[int(r["bit"])] = True
+
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+
+    def tag(a: int, b: int):
+        def fn(t: pa.Table) -> pa.Table:
+            keys = t.column(0).combine_chunks().unique()
+            n = len(keys)
+            return pa.table(
+                {
+                    "c_custkey": pc.cast(keys, pa.int64()),
+                    "in_c": pa.array([a] * n, pa.int64()),
+                    "in_o": pa.array([b] * n, pa.int64()),
+                }
+            )
+
+        return fn
+
+    flags = (
+        cust.map_batches(tag(1, 0), batch_format="pyarrow")
+        .union(
+            f_orders.select_columns(["o_custkey"]).map_batches(
+                tag(0, 1), batch_format="pyarrow"
+            )
+        )
+        .groupby("c_custkey")
+        .aggregate(Max("in_c", alias_name="c"), Max("in_o", alias_name="o"))
+        .filter(expr="c == 1")
+    )
+    probed = stats.bloom_probe_flags(
+        flags, "c_custkey", bits, k_hashes=k_hashes
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_custkey": pc.cast(t["c_custkey"], pa.int64()),
+                "bloom_hit": pc.cast(t["bloom_hit"], pa.int64()),
+                "true_hit": pc.cast(t["o"], pa.int64()),
+            }
+        )
+
+    return probed.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_BLOOM_CUSTKEYS = """
+WITH d AS (SELECT unnest(range(3)) AS d),
+ok AS (SELECT DISTINCT o_custkey AS key FROM orders
+       WHERE o_orderstatus = 'F'),
+bits AS (
+  SELECT DISTINCT
+    CAST(CAST(('0x' || substr(md5('bloom' || CAST(d.d AS VARCHAR)
+                              || CAST(key AS VARCHAR)), 1, 16)) AS UBIGINT)
+         % 4096 AS BIGINT) AS bit
+  FROM ok, d
+),
+probe AS (
+  SELECT c_custkey, d.d,
+         CAST(CAST(('0x' || substr(md5('bloom' || CAST(d.d AS VARCHAR)
+                    || CAST(c_custkey AS VARCHAR)), 1, 16)) AS UBIGINT)
+              % 4096 AS BIGINT) AS bit
+  FROM customer, d
+)
+SELECT CAST(p.c_custkey AS BIGINT) AS c_custkey,
+       CAST(CASE WHEN count(b.bit) = 3 THEN 1 ELSE 0 END AS BIGINT)
+         AS bloom_hit,
+       CAST(max(CASE WHEN o.key IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+         AS true_hit
+FROM probe p
+LEFT JOIN bits b ON b.bit = p.bit
+LEFT JOIN ok o ON o.key = p.c_custkey
+GROUP BY p.c_custkey
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -3461,6 +3556,7 @@ def queries() -> Dict[str, Callable]:
         "q_kmeans_embeddings": q_kmeans_embeddings,
         "q_semantic_dedup": q_semantic_dedup,
         "q_knn_ivf_kmeans": q_knn_ivf_kmeans,
+        "q_bloom_custkeys": q_bloom_custkeys,
         "q_tfidf": q_tfidf,
         "q_asof_join": q_asof_join,
         "q_redact": q_redact,
@@ -3563,6 +3659,7 @@ def _build_oracle_sql() -> Dict[str, str]:
         "q_kmeans_embeddings": sql_q_kmeans(),
         "q_semantic_dedup": sql_q_semantic_dedup(),
         "q_knn_ivf_kmeans": sql_q_knn_ivf_kmeans(),
+        "q_bloom_custkeys": SQL_BLOOM_CUSTKEYS,
         "q_tfidf": SQL_TFIDF,
         "q_asof_join": SQL_ASOF_JOIN,
         "q_redact": SQL_REDACT,

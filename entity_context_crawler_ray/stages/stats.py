@@ -451,3 +451,69 @@ def hll_estimate(registers: dict, b: int = 8) -> float:
         if zeros:
             return m * math.log(m / zeros)
     return est
+
+
+def bloom_bits(
+    ds: ray.data.Dataset,
+    col: str,
+    m_bits: int = 4096,
+    k_hashes: int = 3,
+    salt: str = "bloom",
+) -> ray.data.Dataset:
+    """Distributed Bloom-filter BUILD: the distinct set bit positions
+    of a key column — md5 position hashes (``salt+d+value`` mod
+    ``m_bits`` for d < k_hashes) so a SQL twin computes the identical
+    filter.  Mergeable by union: per-batch dedup caps the exchange at
+    ≤ m_bits rows per batch and one (bit)-keyed groupby makes it
+    distinct — shards' filters OR together for free."""
+    if not 1 <= k_hashes <= 16 or m_bits < 8:
+        raise ValueError("need 1 <= k_hashes <= 16 and m_bits >= 8")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vals = [str(v) for v in batch[col].to_pylist()]
+        pos = {
+            _sample_u64(v, f"{salt}{d}") % m_bits
+            for v in vals
+            for d in range(k_hashes)
+        }
+        return pa.table({"bit": pa.array(sorted(pos), pa.int64())})
+
+    from ray.data.aggregate import Count
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bit")
+        .aggregate(Count(alias_name="n_parts"))
+        .select_columns(["bit"])
+    )
+
+
+def bloom_probe_flags(
+    ds: ray.data.Dataset,
+    col: str,
+    bits: np.ndarray,
+    k_hashes: int = 3,
+    salt: str = "bloom",
+    out_col: str = "bloom_hit",
+) -> ray.data.Dataset:
+    """Probe a broadcast Bloom bit array (bool[m_bits]): append
+    ``out_col`` = 1 iff ALL k positions are set (may false-positive,
+    never false-negative).  The filter ships once via ray.put — a
+    4 KiB array stands in for the full key set."""
+    m_bits = len(bits)
+    ref = ray.put(np.asarray(bits, dtype=bool))
+
+    def probe(batch: pa.Table) -> pa.Table:
+        b = ray.get(ref)
+        hits = [
+            int(
+                all(
+                    b[_sample_u64(str(v), f"{salt}{d}") % m_bits]
+                    for d in range(k_hashes)
+                )
+            )
+            for v in batch[col].to_pylist()
+        ]
+        return batch.append_column(out_col, pa.array(hits, pa.int64()))
+
+    return ds.map_batches(probe, batch_format="pyarrow")

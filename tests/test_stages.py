@@ -1074,3 +1074,32 @@ def test_knn_ivf_kmeans_probes_subset_and_recalls_neighbors():
     assert set(out["vec_id"]) <= set(range(5))
     assert out["vec_id"].iloc[0] == 0  # exact match ranks first
     assert (out["cosine"].diff().dropna() <= 1e-12).all()
+
+
+def test_bloom_bits_no_false_negatives_and_merges():
+    from entity_context_crawler_ray.stages import stats
+
+    members = [{"k": i} for i in range(0, 200, 2)]  # evens
+    bits_ds = stats.bloom_bits(
+        ray.data.from_items(members), "k", m_bits=256, k_hashes=3
+    ).to_pandas()
+    bits = np.zeros(256, dtype=bool)
+    bits[bits_ds["bit"].to_numpy()] = True
+    probe = ray.data.from_items([{"k": i} for i in range(200)])
+    out = (
+        stats.bloom_probe_flags(probe, "k", bits, k_hashes=3)
+        .to_pandas()
+        .set_index("k")["bloom_hit"]
+    )
+    # never a false negative
+    assert all(out[i] == 1 for i in range(0, 200, 2))
+    # small filter is dense enough to show SOME rejection of non-members
+    assert (out[list(range(1, 200, 2))] == 0).any()
+    # mergeable: bits(A ∪ B) == bits(A) | bits(B)
+    a = stats.bloom_bits(
+        ray.data.from_items(members[:50]), "k", m_bits=256, k_hashes=3
+    ).to_pandas()["bit"]
+    b = stats.bloom_bits(
+        ray.data.from_items(members[50:]), "k", m_bits=256, k_hashes=3
+    ).to_pandas()["bit"]
+    assert set(a) | set(b) == set(bits_ds["bit"])
