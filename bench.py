@@ -210,6 +210,7 @@ def run_bench() -> dict:
             "q_minhash_neardup",
             "q_knn_cosine",
             "q_sessions",
+            "q_semantic_dedup",
         ):
             fn = Q.queries()[name]
             walls = []

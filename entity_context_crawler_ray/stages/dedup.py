@@ -843,6 +843,7 @@ def semantic_dedup(
     quadratically blow up."""
     from .similarity import _normalize, assign_clusters, kmeans_centroids
 
+    embeddings = embeddings.materialize()  # shared with the training scans
     cent = kmeans_centroids(embeddings, k, iterations, scale)
     assigned = assign_clusters(embeddings, cent, scale, keep_vec=True)
 

@@ -206,8 +206,15 @@ def kmeans_centroids(
     aggregate.  Ties in the argmin go to the smallest cluster id;
     empty clusters keep their previous centroid.  Scale shape: the
     corpus streams through assignment ``iterations`` times, all
-    exchanges are sketch-sized."""
+    exchanges are sketch-sized.
+
+    The input is materialized once up front: every Lloyd iteration
+    re-scans the same vectors, so pinning the blocks (spillable) beats
+    re-running the upstream read per pass — with 2 iterations that is
+    3 scans of one cached copy instead of 3 source re-reads."""
     from ray.data.aggregate import Sum
+
+    embeddings = embeddings.materialize()
 
     def _quant(mat: np.ndarray) -> np.ndarray:
         return quantize_half_away(mat, scale)
@@ -327,6 +334,7 @@ def kmeans_int(
     """(vec_id, cluster) after :func:`kmeans_centroids` training plus
     one final broadcast-assignment pass — bit-identical to the
     unrolled SQL twin (queries.py sql_q_kmeans)."""
+    embeddings = embeddings.materialize()  # shared with the training scans
     cent = kmeans_centroids(embeddings, k, iterations, scale, id_col, vec_col)
     return assign_clusters(embeddings, cent, scale, id_col, vec_col)
 
@@ -350,6 +358,7 @@ def knn_ivf_kmeans(
     Returns exact cosine top-k within the probed partitions;
     deterministic tie-breaks everywhere (centroid ties -> smaller
     cluster id, result ties -> smaller vec_id)."""
+    embeddings = embeddings.materialize()  # shared with the training scans
     cent = kmeans_centroids(
         embeddings, n_clusters, iterations, scale, id_col, vec_col
     )
