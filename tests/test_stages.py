@@ -1103,3 +1103,22 @@ def test_bloom_bits_no_false_negatives_and_merges():
         ray.data.from_items(members[50:]), "k", m_bits=256, k_hashes=3
     ).to_pandas()["bit"]
     assert set(a) | set(b) == set(bits_ds["bit"])
+
+
+def test_new_ops_empty_and_edge_inputs():
+    from entity_context_crawler_ray.stages import stats
+
+    empty = ray.data.from_items([{"k": 1}]).filter(expr="k > 99")
+    # set ops: one empty side classifies everything left_only
+    out = relational.set_compare(
+        ray.data.from_items([{"k": 1}]), empty, "k"
+    ).to_pandas()
+    assert out["op"].tolist() == ["left_only"]
+    # CMS estimate of an absent key is 0 (all registers empty)
+    assert stats.cms_estimate({}, "missing") == 0
+    # rollup of a single row yields finest + 1 subtotal + grand total
+    one = relational.rollup_sum_cents(
+        ray.data.from_items([{"g1": "x", "g2": "y", "v": 1.0}]),
+        ["g1", "g2"], "v",
+    ).to_pandas()
+    assert len(one) == 3 and set(one["sum_cents"]) == {100}
