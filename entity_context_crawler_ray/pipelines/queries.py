@@ -3501,6 +3501,74 @@ GROUP BY p.c_custkey
 """
 
 
+def q_left_join_custorders(sf_dir: str):
+    """LEFT OUTER join via the explicit bucketed exchange: every
+    customer with its 'P'-status order revenue, ZERO (not absent) for
+    customers with no such orders — the keep-with-nulls complement of
+    the ANTI join.  The right side is pre-aggregated to one row per
+    custkey before the join, so the exchange moves aggregates, not
+    orders."""
+    from ray.data.aggregate import Sum
+
+    orders = _read(sf_dir, "orders",
+                   ["o_custkey", "o_orderstatus", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["o_orderstatus"], "P"))
+        tt = pa.table(
+            {
+                "o_custkey": t["o_custkey"],
+                "cents": _cents(t["o_totalprice"]),
+            }
+        )
+        agg = tt.group_by("o_custkey").aggregate(
+            [("cents", "sum"), ("cents", "count")]
+        )
+        return pa.table(
+            {
+                "o_custkey": agg["o_custkey"],
+                "pc_": pc.cast(agg["cents_sum"], pa.int64()),
+                "pn_": pc.cast(agg["cents_count"], pa.int64()),
+            }
+        )
+
+    per_cust = (
+        orders.map_batches(partial, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(Sum("pc_", alias_name="s"), Sum("pn_", alias_name="n"))
+    )
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    joined = relational.hash_join_bucketed(
+        cust, per_cust, on="c_custkey", right_on="o_custkey", how="left"
+    )
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "c_custkey": g["c_custkey"].astype("int64"),
+                "c_mktsegment": g["c_mktsegment"],
+                "sum_cents": g["s"].fillna(0).astype("int64"),
+                "n_orders": g["n"].fillna(0).astype("int64"),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pandas").select_columns(
+        ["c_custkey", "c_mktsegment", "sum_cents", "n_orders"]
+    )
+
+
+SQL_LEFT_JOIN_CUSTORDERS = """
+SELECT CAST(c.c_custkey AS BIGINT) AS c_custkey, c.c_mktsegment,
+       CAST(coalesce(sum(CAST(round(o.o_totalprice*100) AS BIGINT)), 0)
+            AS BIGINT) AS sum_cents,
+       CAST(count(o.o_orderkey) AS BIGINT) AS n_orders
+FROM customer c
+LEFT JOIN orders o
+  ON o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P'
+GROUP BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -3557,6 +3625,7 @@ def queries() -> Dict[str, Callable]:
         "q_semantic_dedup": q_semantic_dedup,
         "q_knn_ivf_kmeans": q_knn_ivf_kmeans,
         "q_bloom_custkeys": q_bloom_custkeys,
+        "q_left_join_custorders": q_left_join_custorders,
         "q_tfidf": q_tfidf,
         "q_asof_join": q_asof_join,
         "q_redact": q_redact,
@@ -3660,6 +3729,7 @@ def _build_oracle_sql() -> Dict[str, str]:
         "q_semantic_dedup": sql_q_semantic_dedup(),
         "q_knn_ivf_kmeans": sql_q_knn_ivf_kmeans(),
         "q_bloom_custkeys": SQL_BLOOM_CUSTKEYS,
+        "q_left_join_custorders": SQL_LEFT_JOIN_CUSTORDERS,
         "q_tfidf": SQL_TFIDF,
         "q_asof_join": SQL_ASOF_JOIN,
         "q_redact": SQL_REDACT,

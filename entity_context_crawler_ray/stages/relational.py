@@ -59,10 +59,15 @@ def hash_join_bucketed(
     num_buckets: int = 16,
     right_on: Optional[str] = None,
     suffix: str = "_r",
+    how: str = "inner",
 ) -> ray.data.Dataset:
     """Explicit partitioned hash join: tag each side, bucket by
     hash(key) % B, groupby(bucket), pandas merge per bucket.  Skewed
-    keys: raise num_buckets or salt the hot key's bucket upstream."""
+    keys: raise num_buckets or salt the hot key's bucket upstream.
+    ``how``: 'inner' or 'left' (LEFT OUTER — unmatched left rows
+    survive with nulls in the right columns)."""
+    if how not in ("inner", "left"):
+        raise ValueError("how must be 'inner' or 'left'")
     right_on = right_on or on
     l_schema, r_schema = left.schema(), right.schema()
     l_names, r_names = list(l_schema.names), list(r_schema.names)
@@ -115,10 +120,16 @@ def hash_join_bucketed(
     def merge(g: pd.DataFrame) -> pd.DataFrame:
         lhs = g[g["__side"] == "l"][l_names]
         rhs = g[g["__side"] == "r"][r_names]
-        if lhs.empty or rhs.empty:
+        if lhs.empty or (rhs.empty and how == "inner"):
             return pd.DataFrame(columns=[*dict.fromkeys(l_names + r_names)])
+        if rhs.empty:  # left outer with no bucket matches
+            out = lhs.copy()
+            for name in r_names:
+                if name not in out.columns:
+                    out[name] = pd.NA
+            return out
         return lhs.merge(
-            rhs, left_on=on, right_on=right_on, how="inner", suffixes=("", suffix)
+            rhs, left_on=on, right_on=right_on, how=how, suffixes=("", suffix)
         )
 
     # union of tagged sides co-partitions both on the bucket key

@@ -1122,3 +1122,22 @@ def test_new_ops_empty_and_edge_inputs():
         ["g1", "g2"], "v",
     ).to_pandas()
     assert len(one) == 3 and set(one["sum_cents"]) == {100}
+
+
+def test_hash_join_bucketed_left_outer():
+    left = ray.data.from_items(
+        [{"k": 1, "x": "a"}, {"k": 2, "x": "b"}, {"k": 3, "x": "c"}]
+    )
+    right = ray.data.from_items([{"k": 1, "y": 10}, {"k": 1, "y": 11}])
+    out = (
+        relational.hash_join_bucketed(left, right, on="k", how="left")
+        .to_pandas()
+        .sort_values(["k", "y"])
+        .reset_index(drop=True)
+    )
+    # k=1 fans out to both right rows; k=2,3 survive with null y
+    assert len(out) == 4
+    assert out[out["k"] == 1]["y"].tolist() == [10, 11]
+    assert out[out["k"] > 1]["y"].isna().all()
+    with pytest.raises(ValueError, match="how"):
+        relational.hash_join_bucketed(left, right, on="k", how="outer")
