@@ -165,8 +165,12 @@ class MinHashLSH:
             dtype=np.uint64,
         )
 
+    _TOKEN_CACHE_MAX = 2_000_000  # ~100 MB of dict; heavy-tail vocab resets
+
     def _token_hashes(self, tokens: List[str]) -> np.ndarray:
         cache = self._token_cache
+        if len(cache) > self._TOKEN_CACHE_MAX:
+            cache.clear()  # hash values don't depend on the cache
         new = [t for t in tokens if t not in cache]
         if new:
             new = list(dict.fromkeys(new))
