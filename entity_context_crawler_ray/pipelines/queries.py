@@ -3056,36 +3056,34 @@ def q_rollup_revenue(sf_dir: str):
     (<= |nation|x|segment| rows), never the raw orders."""
     cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey",
                                      "c_mktsegment"])
-    nat = pa.Table.from_pandas(
-        _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas(),
-        preserve_index=False,
+    nat = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
     )
-    nmap = dict(
-        zip(nat["n_nationkey"].to_pylist(), nat["n_name"].to_pylist())
-    )
-    cmap_ref = ray.put(
-        {
-            int(r["c_custkey"]): (nmap[int(r["c_nationkey"])],
-                                  r["c_mktsegment"])
-            for r in cust.take_all()
-        }
+    nmap_ref = ray.put(
+        dict(zip(nat["n_nationkey"].to_pylist(), nat["n_name"].to_pylist()))
     )
     orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    # customer is corpus-scale: shuffle-join it (native hash join);
+    # only the genuinely tiny nation map is broadcast
+    joined = relational.hash_join(
+        orders, cust, on="o_custkey", right_on="c_custkey"
+    )
 
     def attach(t: pa.Table) -> pa.Table:
-        cmap = ray.get(cmap_ref)
-        pairs = [cmap[int(k)] for k in t["o_custkey"].to_pylist()]
+        nmap = ray.get(nmap_ref)
+        names = [nmap[int(k)] for k in t["c_nationkey"].to_pylist()]
         return pa.table(
             {
-                "n_name": pa.array([p[0] for p in pairs], pa.string()),
-                "c_mktsegment": pa.array([p[1] for p in pairs], pa.string()),
+                "n_name": pa.array(names, pa.string()),
+                "c_mktsegment": t["c_mktsegment"],
                 "o_totalprice": t["o_totalprice"],
             }
         )
 
-    joined = orders.map_batches(attach, batch_format="pyarrow")
     return relational.rollup_sum_cents(
-        joined, ["n_name", "c_mktsegment"], "o_totalprice"
+        joined.map_batches(attach, batch_format="pyarrow"),
+        ["n_name", "c_mktsegment"],
+        "o_totalprice",
     )
 
 
