@@ -3567,6 +3567,38 @@ GROUP BY 1, 2
 """
 
 
+def q_doc_value_rank(sf_dir: str):
+    """Global ranking windows WITHOUT a global sort: every document's
+    ``rank()`` and peer-inclusive running count over n_chars, assigned
+    from a distinct-value histogram exchange + one broadcast cumsum —
+    the shape that replaces ORDER-BY-the-corpus at 100 TB (the
+    exchange is bounded by distinct-value cardinality)."""
+    out = stats.value_rank(
+        _read(sf_dir, "documents", ["doc_id", "n_chars"]), "n_chars"
+    )
+
+    def cast_cols(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": pc.cast(t["doc_id"], pa.int64()),
+                "n_chars": pc.cast(t["n_chars"], pa.int64()),
+                "rnk": t["rnk"],
+                "n_le": t["n_le"],
+            }
+        )
+
+    return out.map_batches(cast_cols, batch_format="pyarrow")
+
+
+SQL_DOC_VALUE_RANK = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(n_chars AS BIGINT) AS n_chars,
+       CAST(rank() OVER (ORDER BY n_chars) AS BIGINT) AS rnk,
+       CAST(count(*) OVER (ORDER BY n_chars) AS BIGINT) AS n_le
+FROM documents
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -3624,6 +3656,7 @@ def queries() -> Dict[str, Callable]:
         "q_knn_ivf_kmeans": q_knn_ivf_kmeans,
         "q_bloom_custkeys": q_bloom_custkeys,
         "q_left_join_custorders": q_left_join_custorders,
+        "q_doc_value_rank": q_doc_value_rank,
         "q_tfidf": q_tfidf,
         "q_asof_join": q_asof_join,
         "q_redact": q_redact,
@@ -3728,6 +3761,7 @@ def _build_oracle_sql() -> Dict[str, str]:
         "q_knn_ivf_kmeans": sql_q_knn_ivf_kmeans(),
         "q_bloom_custkeys": SQL_BLOOM_CUSTKEYS,
         "q_left_join_custorders": SQL_LEFT_JOIN_CUSTORDERS,
+        "q_doc_value_rank": SQL_DOC_VALUE_RANK,
         "q_tfidf": SQL_TFIDF,
         "q_asof_join": SQL_ASOF_JOIN,
         "q_redact": SQL_REDACT,

@@ -517,3 +517,66 @@ def bloom_probe_flags(
         return batch.append_column(out_col, pa.array(hits, pa.int64()))
 
     return ds.map_batches(probe, batch_format="pyarrow")
+
+
+def value_rank(
+    ds: ray.data.Dataset,
+    col: str,
+    max_distinct: int = 5_000_000,
+) -> ray.data.Dataset:
+    """Global SQL ``rank()`` / peer-inclusive running count for every
+    row of an integer column WITHOUT a global sort: one (value)-keyed
+    exchange of per-batch value counts builds the distinct-value
+    histogram, its cumulative sums broadcast as two small arrays, and
+    one vectorized searchsorted per batch assigns
+    ``rnk = #{v' < v} + 1`` and ``n_le = #{v' <= v}`` (ties share
+    both, exactly like SQL ORDER BY windows).
+
+    Scale shape: the exchange and the broadcast are bounded by the
+    column's DISTINCT-value cardinality, not the corpus —
+    ``max_distinct`` guards the broadcast the way the dedup kernels
+    guard their quadratic paths."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({"v": pc.cast(batch[col], pa.int64())})
+        agg = t.group_by("v").aggregate([("v", "count")])
+        return pa.table(
+            {
+                "v": agg["v"],
+                "pn": pc.cast(agg["v_count"], pa.int64()),
+            }
+        )
+
+    hist = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("v")
+        .aggregate(Sum("pn", alias_name="n"))
+    )
+    rows = hist.take_all()
+    if len(rows) > max_distinct:
+        raise ValueError(
+            f"value_rank: {len(rows)} distinct values > "
+            f"max_distinct={max_distinct}; bucket the column first "
+            f"(bucket_by_boundaries) or raise the guard"
+        )
+    vals = np.array([r["v"] for r in rows], dtype=np.int64)
+    cnts = np.array([r["n"] for r in rows], dtype=np.int64)
+    order = np.argsort(vals)
+    vals, cnts = vals[order], cnts[order]
+    cum = np.concatenate(([0], np.cumsum(cnts)))
+    ref = ray.put((vals, cum))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        vv, cc = ray.get(ref)
+        x = np.asarray(
+            pc.cast(batch[col], pa.int64()).to_numpy(zero_copy_only=False)
+        )
+        lo = np.searchsorted(vv, x, side="left")
+        hi = np.searchsorted(vv, x, side="right")
+        return batch.append_column(
+            "rnk", pa.array(cc[lo] + 1, pa.int64())
+        ).append_column("n_le", pa.array(cc[hi], pa.int64()))
+
+    return ds.map_batches(assign, batch_format="pyarrow")

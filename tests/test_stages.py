@@ -1141,3 +1141,22 @@ def test_hash_join_bucketed_left_outer():
     assert out[out["k"] > 1]["y"].isna().all()
     with pytest.raises(ValueError, match="how"):
         relational.hash_join_bucketed(left, right, on="k", how="outer")
+
+
+def test_value_rank_ties_and_guard():
+    from entity_context_crawler_ray.stages import stats
+
+    ds = ray.data.from_items(
+        [{"i": i, "v": v} for i, v in enumerate([5, 3, 5, 1, 3])]
+    )
+    out = (
+        stats.value_rank(ds, "v")
+        .to_pandas()
+        .set_index("i")
+        .sort_index()
+    )
+    # sorted: 1,3,3,5,5 -> rank 1,2,2,4,4 ; n_le 1,3,3,5,5
+    assert out["rnk"].tolist() == [4, 2, 4, 1, 2]
+    assert out["n_le"].tolist() == [5, 3, 5, 1, 3]
+    with pytest.raises(ValueError, match="max_distinct"):
+        stats.value_rank(ds, "v", max_distinct=2).to_pandas()
