@@ -3599,6 +3599,77 @@ FROM documents
 """
 
 
+def q_distinct_users_by_type(sf_dir: str):
+    """EXACT grouped count-distinct: distinct users per event type via
+    map-side pair dedup + one pair-keyed exchange + a per-group count
+    over distinct pairs — raw event rows never shuffle."""
+    out = stats.grouped_count_distinct(
+        _read(sf_dir, "events", ["event_type", "user_id"]),
+        "event_type",
+        "user_id",
+    )
+
+    def cast_cols(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "n_distinct": pc.cast(t["n_distinct"], pa.int64()),
+            }
+        )
+
+    return out.map_batches(cast_cols, batch_format="pyarrow")
+
+
+SQL_DISTINCT_USERS_BY_TYPE = """
+SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct
+FROM events GROUP BY 1
+"""
+
+
+def q_hll_by_type(sf_dir: str):
+    """Per-GROUP HyperLogLog registers (b=4) over users per event
+    type — the constant-size-per-key count-distinct sketch; md5
+    bucket/rho derivation makes the SQL twin compute identical
+    registers, so the per-key sketch family is hash-verified too."""
+    out = stats.hll_registers_by(
+        _read(sf_dir, "events", ["event_type", "user_id"]),
+        "event_type",
+        "user_id",
+        b=4,
+    )
+
+    def cast_cols(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "bucket": pc.cast(t["bucket"], pa.int64()),
+                "register": pc.cast(t["register"], pa.int64()),
+            }
+        )
+
+    return out.map_batches(cast_cols, batch_format="pyarrow")
+
+
+SQL_HLL_BY_TYPE = """
+WITH h AS (
+  SELECT event_type,
+         CAST(('0x' || substr(md5('hll' || CAST(user_id AS VARCHAR)), 1, 16))
+              AS UBIGINT) AS u
+  FROM events
+),
+r AS (
+  SELECT event_type, CAST(u >> 60 AS BIGINT) AS bucket,
+         CAST((u >> 36) & 16777215 AS BIGINT) AS rem
+  FROM h
+)
+SELECT event_type, bucket,
+       max(CASE WHEN rem = 0 THEN 25
+                ELSE 24 - CAST(floor(log2(CAST(rem AS DOUBLE))) AS BIGINT)
+           END) AS register
+FROM r GROUP BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -3657,6 +3728,8 @@ def queries() -> Dict[str, Callable]:
         "q_bloom_custkeys": q_bloom_custkeys,
         "q_left_join_custorders": q_left_join_custorders,
         "q_doc_value_rank": q_doc_value_rank,
+        "q_distinct_users_by_type": q_distinct_users_by_type,
+        "q_hll_by_type": q_hll_by_type,
         "q_tfidf": q_tfidf,
         "q_asof_join": q_asof_join,
         "q_redact": q_redact,
@@ -3762,6 +3835,8 @@ def _build_oracle_sql() -> Dict[str, str]:
         "q_bloom_custkeys": SQL_BLOOM_CUSTKEYS,
         "q_left_join_custorders": SQL_LEFT_JOIN_CUSTORDERS,
         "q_doc_value_rank": SQL_DOC_VALUE_RANK,
+        "q_distinct_users_by_type": SQL_DISTINCT_USERS_BY_TYPE,
+        "q_hll_by_type": SQL_HLL_BY_TYPE,
         "q_tfidf": SQL_TFIDF,
         "q_asof_join": SQL_ASOF_JOIN,
         "q_redact": SQL_REDACT,

@@ -580,3 +580,98 @@ def value_rank(
         ).append_column("n_le", pa.array(cc[hi], pa.int64()))
 
     return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def grouped_count_distinct(
+    ds: ray.data.Dataset, group_col: str, value_col: str
+) -> ray.data.Dataset:
+    """EXACT count-distinct per group: per-batch distinct (group,
+    value) pairs (map-side dedup), ONE pair-keyed exchange that
+    finishes the dedup, then a per-group count whose input is one row
+    per distinct pair — the value column's raw occurrences never
+    shuffle.  For very-high-cardinality values at 100 TB, switch to
+    :func:`hll_registers_by` (constant-size per-group sketches)."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {group_col: batch[group_col], value_col: batch[value_col]}
+        )
+        agg = t.group_by([group_col, value_col]).aggregate([])
+        return agg.select([group_col, value_col])
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby([group_col, value_col])
+        .aggregate(Count(alias_name="m"))
+        .select_columns([group_col])
+        .groupby(group_col)
+        .aggregate(Count(alias_name="n_distinct"))
+    )
+
+
+def hll_registers_by(
+    ds: ray.data.Dataset,
+    group_col: str,
+    col: str,
+    salt: str = "hll",
+    b: int = 4,
+) -> ray.data.Dataset:
+    """Per-GROUP HyperLogLog registers — the constant-size-per-key
+    count-distinct shape: each batch contributes ≤ |groups|×2^b
+    partial-max rows, one (group, bucket)-keyed exchange merges them
+    by max.  Same md5 bucket/rho derivation as :func:`hll_registers`
+    so a SQL twin computes identical registers."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Max
+
+    if not 4 <= b <= 16:
+        raise ValueError("b must be in [4, 16]")
+    rem_bits = 24
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vals = batch[col].to_pylist()
+        if not vals:
+            return pa.table(
+                {
+                    group_col: batch[group_col],
+                    "bucket": pa.array([], pa.int64()),
+                    "pmax": pa.array([], pa.int64()),
+                }
+            )
+        u = np.fromiter(
+            (_sample_u64(str(v), salt) for v in vals),
+            dtype=np.uint64,
+            count=len(vals),
+        )
+        bucket = (u >> np.uint64(64 - b)).astype(np.int64)
+        rem = ((u >> np.uint64(64 - b - rem_bits)) & np.uint64(
+            (1 << rem_bits) - 1
+        )).astype(np.int64)
+        rho = np.where(
+            rem > 0,
+            rem_bits - np.floor(np.log2(np.maximum(rem, 1))).astype(np.int64),
+            rem_bits + 1,
+        )
+        t = pa.table(
+            {
+                group_col: batch[group_col],
+                "bucket": pa.array(bucket, pa.int64()),
+                "rho": pa.array(rho, pa.int64()),
+            }
+        )
+        agg = t.group_by([group_col, "bucket"]).aggregate([("rho", "max")])
+        return pa.table(
+            {
+                group_col: agg[group_col],
+                "bucket": agg["bucket"],
+                "pmax": pc.cast(agg["rho_max"], pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby([group_col, "bucket"])
+        .aggregate(Max("pmax", alias_name="register"))
+    )

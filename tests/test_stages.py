@@ -1160,3 +1160,29 @@ def test_value_rank_ties_and_guard():
     assert out["n_le"].tolist() == [5, 3, 5, 1, 3]
     with pytest.raises(ValueError, match="max_distinct"):
         stats.value_rank(ds, "v", max_distinct=2).to_pandas()
+
+
+def test_grouped_count_distinct_and_hll_by():
+    from entity_context_crawler_ray.stages import stats
+
+    rows = [
+        {"g": "a", "v": 1}, {"g": "a", "v": 1}, {"g": "a", "v": 2},
+        {"g": "b", "v": 1}, {"g": "b", "v": 3}, {"g": "b", "v": 3},
+    ]
+    out = (
+        stats.grouped_count_distinct(ray.data.from_items(rows), "g", "v")
+        .to_pandas()
+        .set_index("g")["n_distinct"]
+    )
+    assert out.to_dict() == {"a": 2, "b": 2}
+    # per-group registers == per-group run of the global sketch
+    byg = stats.hll_registers_by(
+        ray.data.from_items(rows), "g", "v", b=4
+    ).to_pandas()
+    for g in ("a", "b"):
+        solo = stats.hll_registers(
+            ray.data.from_items([r for r in rows if r["g"] == g]), "v", b=4
+        ).to_pandas()
+        got = byg[byg["g"] == g].set_index("bucket")["register"].to_dict()
+        want = solo.set_index("bucket")["register"].to_dict()
+        assert got == want
