@@ -1397,7 +1397,16 @@ def ecc_crawl_log(sf_dir: str):
     ``1 + ceil((p+1-t1)/refill)`` with ``t1 = min(cap, cap - seeds_h
     + refill)`` — which is what sql_ecc_crawl_log() computes (the
     general budget interplay stays simulator-verified,
-    tests/test_crawl.py)."""
+    tests/test_crawl.py).
+
+    The closed form requires every seed admitted in round 0, so the
+    capacity is DATA-DEPENDENT: ``max(10, max seeds per host)`` —
+    both engines derive it from the same host map (at sf0.001/sf0.01
+    the max is 9, so the historical capacity 10 is unchanged; at
+    sf0.1 a host carries 65 seeds and the capacity follows).  The
+    global round budget is non-binding — per-host politeness is the
+    thing under test."""
+    import collections
     import glob
 
     from .crawl import CrawlConfig, crawl
@@ -1416,10 +1425,15 @@ def ecc_crawl_log(sf_dir: str):
     shutil.rmtree(out, ignore_errors=True)
     ents = docsrc.entity_catalog(sf_dir)
     ref = ray.put(docsrc.entities_index(ents))
+    seeds = sorted(
+        {t for t in ents["page_title"].to_pylist() if t}
+    )
+    per_host = collections.Counter(docsrc.host_of(u) for u in seeds)
+    capacity = max(_CRAWL_LOG_CAPACITY, max(per_host.values(), default=0))
     cfg = CrawlConfig(
         max_depth=1,
-        round_budget=1000,
-        capacity=_CRAWL_LOG_CAPACITY,
+        round_budget=1_000_000,
+        capacity=capacity,
         refill=_CRAWL_LOG_REFILL,
         num_bloom_shards=4,
         num_politeness_shards=2,
@@ -1461,6 +1475,12 @@ s0 AS (
   SELECT h.host, count(*) AS n FROM seeds s JOIN hosts h ON h.url = s.url
   GROUP BY h.host
 ),
+capc AS (
+  -- DATA-DEPENDENT capacity: max(historical 10, max seeds per host),
+  -- mirroring ecc_crawl_log() so every seed is admitted in round 0
+  -- and the closed-form drain below stays valid at every sf
+  SELECT GREATEST({cap}, (SELECT max(n) FROM s0)) AS c
+),
 links0 AS (
   SELECT s.media_ref AS target
   FROM spans s JOIN seeds f ON s.doc_id = f.url
@@ -1483,8 +1503,8 @@ tok1 AS (
   -- tokens at round 1: capacity - round-0 spend + one refill (hosts
   -- first touched at round 1 start full; no catch-up refill)
   SELECT u.host,
-         LEAST({cap},
-               {cap} - coalesce(s.n, 0)
+         LEAST((SELECT c FROM capc),
+               (SELECT c FROM capc) - coalesce(s.n, 0)
                + CASE WHEN coalesce(s.n, 0) > 0 THEN {refill} ELSE 0 END) AS t1
   FROM (SELECT DISTINCT host FROM unseen) u LEFT JOIN s0 s ON s.host = u.host
 ),
