@@ -3690,6 +3690,74 @@ FROM r GROUP BY 1, 2
 """
 
 
+def q_ipc_roundtrip(sf_dir: str):
+    """Arrow IPC (Feather v2 container) source coverage through the
+    CUSTOM-format plumbing: a task-side sink (one IPC shard per batch,
+    deterministic retry-idempotent names, temp+rename atomic — the
+    crawl sink's discipline) then ``read_binary_files`` + a zero-copy
+    IPC decode stage.  Oracle reads the original parquet, so any
+    serialization loss hash-mismatches."""
+    import uuid
+
+    out_dir = f"/tmp/ecc_rt/ipc_{uuid.uuid4().hex}"
+    os.makedirs(out_dir, exist_ok=True)
+    ds = _read(sf_dir, "events", ["event_id", "value"])
+
+    def write_shard(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"path": pa.array([], pa.string())})
+        # name from content, not randomness: a speculative task retry
+        # overwrites the same shard instead of duplicating rows
+        name = stable_hash64(
+            "ipc-shard", int(t["event_id"][0].as_py()), t.num_rows
+        )
+        path = f"{out_dir}/part-{name:016x}.arrow"
+        tmp = f"{path}.tmp-{uuid.uuid4().hex}"
+        with pa.OSFile(tmp, "wb") as f:
+            with pa.ipc.new_file(f, t.schema) as w:
+                w.write_table(t)
+        os.replace(tmp, path)
+        return pa.table({"path": pa.array([path], pa.string())})
+
+    # iter_batches drains the write stage exactly once (no limit-1
+    # re-execution; see quantiles_exact note)
+    for _ in ds.map_batches(
+        write_shard, batch_format="pyarrow"
+    ).iter_batches(batch_size=None):
+        pass
+
+    rt = ray.data.read_binary_files(out_dir)
+
+    def decode(b: pa.Table) -> pa.Table:
+        tables = [
+            pa.ipc.open_file(pa.BufferReader(buf.as_py())).read_all()
+            for buf in b["bytes"]
+        ]
+        if not tables:
+            return pa.table(
+                {
+                    "event_id": pa.array([], pa.int64()),
+                    "cents_rt": pa.array([], pa.int64()),
+                }
+            )
+        t = pa.concat_tables(tables)
+        return pa.table(
+            {
+                "event_id": pc.cast(t["event_id"], pa.int64()),
+                "cents_rt": _cents(t["value"]),
+            }
+        )
+
+    return rt.map_batches(decode, batch_format="pyarrow")
+
+
+SQL_IPC_ROUNDTRIP = """
+SELECT CAST(event_id AS BIGINT) AS event_id,
+       CAST(round(value*100) AS BIGINT) AS cents_rt
+FROM events
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -3750,6 +3818,7 @@ def queries() -> Dict[str, Callable]:
         "q_doc_value_rank": q_doc_value_rank,
         "q_distinct_users_by_type": q_distinct_users_by_type,
         "q_hll_by_type": q_hll_by_type,
+        "q_ipc_roundtrip": q_ipc_roundtrip,
         "q_tfidf": q_tfidf,
         "q_asof_join": q_asof_join,
         "q_redact": q_redact,
@@ -3857,6 +3926,7 @@ def _build_oracle_sql() -> Dict[str, str]:
         "q_doc_value_rank": SQL_DOC_VALUE_RANK,
         "q_distinct_users_by_type": SQL_DISTINCT_USERS_BY_TYPE,
         "q_hll_by_type": SQL_HLL_BY_TYPE,
+        "q_ipc_roundtrip": SQL_IPC_ROUNDTRIP,
         "q_tfidf": SQL_TFIDF,
         "q_asof_join": SQL_ASOF_JOIN,
         "q_redact": SQL_REDACT,
