@@ -3758,6 +3758,69 @@ FROM events
 """
 
 
+def q_npy_roundtrip(sf_dir: str):
+    """NumPy ``.npy`` source coverage (``ray.data.read_numpy``): the
+    embedding matrix ships as one float64 shard per batch with vec_id
+    in column 0 (exact in a double), read back through the tensor
+    path, then a per-vector integer checksum — quantization identical
+    to the k-means family, so the oracle is exact."""
+    import uuid
+
+    out_dir = f"/tmp/ecc_rt/npy_{uuid.uuid4().hex}"
+    os.makedirs(out_dir, exist_ok=True)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def write_shard(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"path": pa.array([], pa.string())})
+        ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.float64)
+        mat = np.stack(t["embedding"].to_pylist()).astype(np.float64)
+        arr = np.concatenate([ids[:, None], mat], axis=1)
+        name = stable_hash64("npy-shard", int(ids[0]), t.num_rows)
+        path = f"{out_dir}/part-{name:016x}.npy"
+        tmp = f"{path}.tmp-{uuid.uuid4().hex}"
+        with open(tmp, "wb") as f:
+            np.save(f, arr)
+        os.replace(tmp, path)
+        return pa.table({"path": pa.array([path], pa.string())})
+
+    for _ in ds.map_batches(
+        write_shard, batch_format="pyarrow"
+    ).iter_batches(batch_size=None):
+        pass
+
+    rt = ray.data.read_numpy(out_dir)
+
+    def checksum(batch) -> pa.Table:
+        arr = np.asarray(batch["data"], dtype=np.float64)
+        if arr.size == 0:
+            return pa.table(
+                {
+                    "vec_id": pa.array([], pa.int64()),
+                    "checksum": pa.array([], pa.int64()),
+                }
+            )
+        ids = arr[:, 0].astype(np.int64)
+        q = similarity.quantize_half_away(arr[:, 1:], 1000)
+        return pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "checksum": pa.array(q.sum(axis=1), pa.int64()),
+            }
+        )
+
+    return rt.map_batches(checksum, batch_format="numpy")
+
+
+SQL_NPY_ROUNDTRIP = """
+SELECT CAST(vec_id AS BIGINT) AS vec_id,
+       CAST(sum(CAST(round(CAST(u.val AS DOUBLE) * 1000) AS BIGINT))
+            AS BIGINT) AS checksum
+FROM embeddings, unnest(embedding) AS u(val)
+GROUP BY vec_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -3819,6 +3882,7 @@ def queries() -> Dict[str, Callable]:
         "q_distinct_users_by_type": q_distinct_users_by_type,
         "q_hll_by_type": q_hll_by_type,
         "q_ipc_roundtrip": q_ipc_roundtrip,
+        "q_npy_roundtrip": q_npy_roundtrip,
         "q_tfidf": q_tfidf,
         "q_asof_join": q_asof_join,
         "q_redact": q_redact,
@@ -3927,6 +3991,7 @@ def _build_oracle_sql() -> Dict[str, str]:
         "q_distinct_users_by_type": SQL_DISTINCT_USERS_BY_TYPE,
         "q_hll_by_type": SQL_HLL_BY_TYPE,
         "q_ipc_roundtrip": SQL_IPC_ROUNDTRIP,
+        "q_npy_roundtrip": SQL_NPY_ROUNDTRIP,
         "q_tfidf": SQL_TFIDF,
         "q_asof_join": SQL_ASOF_JOIN,
         "q_redact": SQL_REDACT,
