@@ -3821,6 +3821,35 @@ GROUP BY vec_id
 """
 
 
+def q_fuzzy_names(sf_dir: str):
+    """Edit-distance-1 fuzzy self-join over customer names via
+    deletion-neighborhood blocking (SymSpell): variants are an EXACT
+    candidate generator for lev <= 1, so the equi-join on the variant
+    key plus a DP verify reproduces DuckDB's levenshtein join without
+    any O(N²) comparison."""
+    return dedup.fuzzy_pairs_lev1(
+        _read(sf_dir, "customer", ["c_name"]), "c_name"
+    ).select_columns(["name_a", "name_b", "dist"])
+
+
+SQL_FUZZY_NAMES = """
+WITH names AS (SELECT DISTINCT c_name AS s FROM customer),
+v AS (
+  SELECT s, CASE WHEN i.i = 0 THEN s
+                 ELSE substr(s, 1, i.i - 1) || substr(s, i.i + 1) END AS var
+  FROM names, (SELECT unnest(range(0, 65)) AS i) i
+  WHERE i.i <= length(s)
+),
+cand AS (
+  SELECT DISTINCT a.s AS name_a, b.s AS name_b
+  FROM v a JOIN v b ON a.var = b.var AND a.s < b.s
+)
+SELECT name_a, name_b,
+       CAST(levenshtein(name_a, name_b) AS BIGINT) AS dist
+FROM cand WHERE levenshtein(name_a, name_b) <= 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -3883,6 +3912,7 @@ def queries() -> Dict[str, Callable]:
         "q_hll_by_type": q_hll_by_type,
         "q_ipc_roundtrip": q_ipc_roundtrip,
         "q_npy_roundtrip": q_npy_roundtrip,
+        "q_fuzzy_names": q_fuzzy_names,
         "q_tfidf": q_tfidf,
         "q_asof_join": q_asof_join,
         "q_redact": q_redact,
@@ -3992,6 +4022,7 @@ def _build_oracle_sql() -> Dict[str, str]:
         "q_hll_by_type": SQL_HLL_BY_TYPE,
         "q_ipc_roundtrip": SQL_IPC_ROUNDTRIP,
         "q_npy_roundtrip": SQL_NPY_ROUNDTRIP,
+        "q_fuzzy_names": SQL_FUZZY_NAMES,
         "q_tfidf": SQL_TFIDF,
         "q_asof_join": SQL_ASOF_JOIN,
         "q_redact": SQL_REDACT,

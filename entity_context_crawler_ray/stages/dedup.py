@@ -878,3 +878,104 @@ def semantic_dedup(
     return assigned.groupby("cluster").map_groups(
         cluster_dups, batch_format="pandas"
     )
+
+
+def _levenshtein(a: str, b: str) -> int:
+    """Plain DP Levenshtein (unit costs) — matches DuckDB's
+    ``levenshtein``.  Only ever called on CANDIDATE pairs, which the
+    deletion-neighborhood blocking has already bounded to distance
+    <= 2, so the strings are near-equal length and short."""
+    if a == b:
+        return 0
+    if len(a) > len(b):
+        a, b = b, a
+    prev = list(range(len(a) + 1))
+    for j, cb in enumerate(b, 1):
+        cur = [j]
+        for i, ca in enumerate(a, 1):
+            cur.append(
+                min(prev[i] + 1, cur[i - 1] + 1,
+                    prev[i - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
+
+
+def fuzzy_pairs_lev1(
+    strings: ray.data.Dataset,
+    col: str,
+    max_len: int = 64,
+) -> ray.data.Dataset:
+    """Edit-distance-1 fuzzy SELF-join via deletion-neighborhood
+    blocking (the SymSpell trick): every string s generates the
+    variant set {s} ∪ {s minus one char}; two strings with
+    levenshtein <= 1 ALWAYS share a variant, so an exact equi-join on
+    the variant key is a complete (no-false-negative) candidate
+    generator, and candidates are bounded at distance <= 2.  Returns
+    (name_a, name_b, dist) for distinct-value pairs with dist <= 1,
+    name_a < name_b.
+
+    Scale shape: the exchange moves (variant, string) rows — ~len+1
+    per distinct string — through ONE variant-keyed co-location
+    (groupby), within-group ordered pairs, a pair-keyed dedup, then a
+    vectorized-DP verify on the surviving candidates only.  No O(N²)
+    anywhere; the quadratic risk (a hot variant) is bounded by how
+    many strings can share one deletion — data-dependent, and the
+    verify join touches only emitted pairs."""
+    from ray.data.aggregate import Count
+
+    def variants(batch: pa.Table) -> pa.Table:
+        out_v: List[str] = []
+        out_s: List[str] = []
+        for s in set(batch[col].to_pylist()):
+            if s is None or len(s) > max_len:
+                continue
+            out_v.append(s)
+            out_s.append(s)
+            for i in range(len(s)):
+                out_v.append(s[:i] + s[i + 1:])
+                out_s.append(s)
+        return pa.table(
+            {
+                "var": pa.array(out_v, pa.string()),
+                "s": pa.array(out_s, pa.string()),
+            }
+        )
+
+    def group_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ss = sorted(set(g["s"]))
+        if len(ss) < 2:
+            return pd.DataFrame(
+                {"name_a": pd.Series(dtype="object"),
+                 "name_b": pd.Series(dtype="object")}
+            )
+        rows = [
+            (ss[i], ss[j])
+            for i in range(len(ss))
+            for j in range(i + 1, len(ss))
+        ]
+        return pd.DataFrame(rows, columns=["name_a", "name_b"])
+
+    cand = (
+        strings.select_columns([col])
+        .map_batches(variants, batch_format="pyarrow")
+        .groupby("var")
+        .map_groups(group_pairs, batch_format="pandas")
+        .groupby(["name_a", "name_b"])
+        .aggregate(Count(alias_name="n_vars"))
+    )
+
+    def verify(batch: pa.Table) -> pa.Table:
+        a_list = batch["name_a"].to_pylist()
+        b_list = batch["name_b"].to_pylist()
+        dists = [_levenshtein(a, b) for a, b in zip(a_list, b_list)]
+        t = pa.table(
+            {
+                "name_a": batch["name_a"],
+                "name_b": batch["name_b"],
+                "dist": pa.array(dists, pa.int64()),
+            }
+        )
+        return t.filter(pc.less_equal(t["dist"], 1))
+
+    return cand.map_batches(verify, batch_format="pyarrow")

@@ -1186,3 +1186,25 @@ def test_grouped_count_distinct_and_hll_by():
         got = byg[byg["g"] == g].set_index("bucket")["register"].to_dict()
         want = solo.set_index("bucket")["register"].to_dict()
         assert got == want
+
+
+def test_fuzzy_pairs_lev1_complete_and_exact():
+    rows = [{"s": x} for x in
+            ["abc", "abd", "ab", "abcd", "xyz", "axc", "zzzz"]]
+    out = (
+        dedup.fuzzy_pairs_lev1(ray.data.from_items(rows), "s")
+        .to_pandas()
+    )
+    got = {(r.name_a, r.name_b): r.dist for r in out.itertuples()}
+    # substitution, deletion, insertion all found; dist values exact
+    assert got[("abc", "abd")] == 1      # substitution
+    assert got[("ab", "abc")] == 1       # insertion/deletion
+    assert got[("abc", "abcd")] == 1
+    assert got[("ab", "abd")] == 1
+    assert got[("abc", "axc")] == 1
+    # nothing at distance >= 2 sneaks in
+    assert all(d <= 1 for d in got.values())
+    assert ("abc", "xyz") not in got and ("xyz", "zzzz") not in got
+    # DP matches a known value
+    from entity_context_crawler_ray.stages.dedup import _levenshtein
+    assert _levenshtein("kitten", "sitting") == 3
