@@ -905,6 +905,7 @@ def fuzzy_pairs_lev1(
     strings: ray.data.Dataset,
     col: str,
     max_len: int = 64,
+    max_variant_group: int = 10_000,
 ) -> ray.data.Dataset:
     """Edit-distance-1 fuzzy SELF-join via deletion-neighborhood
     blocking (the SymSpell trick): every string s generates the
@@ -944,6 +945,13 @@ def fuzzy_pairs_lev1(
 
     def group_pairs(g: pd.DataFrame) -> pd.DataFrame:
         ss = sorted(set(g["s"]))
+        if len(ss) > max_variant_group:
+            raise ValueError(
+                f"fuzzy_pairs_lev1: {len(ss)} strings share one "
+                f"deletion variant (> max_variant_group="
+                f"{max_variant_group}); the pair fan-out would be "
+                f"quadratic — pre-block by a coarser key first"
+            )
         if len(ss) < 2:
             return pd.DataFrame(
                 {"name_a": pd.Series(dtype="object"),
