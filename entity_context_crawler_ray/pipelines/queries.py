@@ -3850,6 +3850,84 @@ FROM cand WHERE levenshtein(name_a, name_b) <= 1
 """
 
 
+def q_bfs_customers(sf_dir: str):
+    """Level-synchronous BFS (3 hops) from customer 0 over the
+    UNDIRECTED customer—supplier graph: dist 1 = suppliers of
+    customer 0, dist 2 = co-customers sharing a supplier, dist 3 =
+    their suppliers.  Exact integer hop counts, one frontier join +
+    one groupby-min per hop (stages/graph.py::bfs_levels); the SQL
+    twin unrolls the same three hops."""
+    from ..stages import graph
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey"])
+    joined = relational.hash_join(orders, li, on="o_orderkey",
+                                  right_on="l_orderkey")
+
+    def to_edges_both(t: pa.Table) -> pa.Table:
+        c = pc.cast(t["o_custkey"], pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        s = (
+            pc.cast(t["l_suppkey"], pa.int64()).to_numpy(
+                zero_copy_only=False
+            )
+            + 1_000_000
+        )
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([c, s]), pa.int64()),
+                "dst": pa.array(np.concatenate([s, c]), pa.int64()),
+            }
+        )
+
+    edges = joined.map_batches(to_edges_both, batch_format="pyarrow")
+    out = graph.bfs_levels(edges, [0], iterations=3)
+    return out.map_batches(
+        lambda t: pa.table(
+            {
+                "node": pc.cast(t["node"], pa.int64()),
+                "dist": pc.cast(t["d"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def sql_q_bfs(iterations: int = 3) -> str:
+    parts = [
+        """WITH e0 AS (
+  SELECT CAST(o.o_custkey AS BIGINT) AS c,
+         CAST(l.l_suppkey AS BIGINT) + 1000000 AS s
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+),
+edges AS (
+  SELECT DISTINCT c AS src, s AS dst FROM e0
+  UNION
+  SELECT DISTINCT s AS src, c AS dst FROM e0
+),
+d0 AS (SELECT CAST(0 AS BIGINT) AS node, CAST(0 AS BIGINT) AS d)"""
+    ]
+    for k in range(1, iterations + 1):
+        parts.append(
+            f""",
+c{k} AS (
+  SELECT e.dst AS node, CAST({k} AS BIGINT) AS d
+  FROM edges e JOIN d{k - 1} f ON f.node = e.src AND f.d = {k - 1}
+),
+d{k} AS (
+  SELECT node, min(d) AS d
+  FROM (SELECT * FROM d{k - 1} UNION ALL SELECT * FROM c{k})
+  GROUP BY node
+)"""
+        )
+    parts.append(
+        f"""
+SELECT node, d AS dist FROM d{iterations}"""
+    )
+    return "".join(parts)
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -3913,6 +3991,7 @@ def queries() -> Dict[str, Callable]:
         "q_ipc_roundtrip": q_ipc_roundtrip,
         "q_npy_roundtrip": q_npy_roundtrip,
         "q_fuzzy_names": q_fuzzy_names,
+        "q_bfs_customers": q_bfs_customers,
         "q_tfidf": q_tfidf,
         "q_asof_join": q_asof_join,
         "q_redact": q_redact,
@@ -4023,6 +4102,7 @@ def _build_oracle_sql() -> Dict[str, str]:
         "q_ipc_roundtrip": SQL_IPC_ROUNDTRIP,
         "q_npy_roundtrip": SQL_NPY_ROUNDTRIP,
         "q_fuzzy_names": SQL_FUZZY_NAMES,
+        "q_bfs_customers": sql_q_bfs(),
         "q_tfidf": SQL_TFIDF,
         "q_asof_join": SQL_ASOF_JOIN,
         "q_redact": SQL_REDACT,

@@ -1208,3 +1208,29 @@ def test_fuzzy_pairs_lev1_complete_and_exact():
     # DP matches a known value
     from entity_context_crawler_ray.stages.dedup import _levenshtein
     assert _levenshtein("kitten", "sitting") == 3
+
+
+def test_bfs_levels_hand_computed():
+    from entity_context_crawler_ray.stages import graph
+
+    # path 1-2-3-4-5 plus isolated 9; undirected via both directions
+    base = [(1, 2), (2, 3), (3, 4), (4, 5)]
+    edges = ray.data.from_items(
+        [{"src": a, "dst": b} for a, b in base]
+        + [{"src": b, "dst": a} for a, b in base]
+    )
+    out = (
+        graph.bfs_levels(edges, [1], iterations=3)
+        .to_pandas()
+        .set_index("node")["d"]
+        .sort_index()
+    )
+    assert out.to_dict() == {1: 0, 2: 1, 3: 2, 4: 3}  # 5 beyond horizon
+    # multi-source takes the minimum over seeds
+    out2 = (
+        graph.bfs_levels(edges, [1, 5], iterations=2)
+        .to_pandas()
+        .set_index("node")["d"]
+        .sort_index()
+    )
+    assert out2.to_dict() == {1: 0, 2: 1, 3: 2, 4: 1, 5: 0}
