@@ -3928,6 +3928,93 @@ SELECT node, d AS dist FROM d{iterations}"""
     return "".join(parts)
 
 
+def q_grouped_mad(sf_dir: str):
+    """Median absolute deviation per market segment — a robust-spread
+    statistic composed from TWO grouped-median passes (the
+    value-histogram operator, stages/stats.py): pass 1 finds each
+    group's median account balance; the per-group medians broadcast
+    (bounded by group cardinality); pass 2 takes the median of
+    |cents − group median|.  Exact integer cents throughout."""
+    cust = _read(sf_dir, "customer", ["c_mktsegment", "c_acctbal"])
+    med = {
+        r["c_mktsegment"]: int(r["median_cents"])
+        for r in stats.grouped_median_cents(
+            cust, "c_mktsegment", "c_acctbal"
+        ).take_all()
+    }
+    med_ref = ray.put(med)
+
+    def abs_dev(t: pa.Table) -> pa.Table:
+        m = ray.get(med_ref)
+        cents = _cents(t["c_acctbal"])
+        meds = pa.array(
+            [m[s] for s in t["c_mktsegment"].to_pylist()], pa.int64()
+        )
+        return pa.table(
+            {
+                "c_mktsegment": t["c_mktsegment"],
+                "dev": pc.abs(pc.subtract(cents, meds)),
+            }
+        )
+
+    out = stats.grouped_median_cents(
+        cust.map_batches(abs_dev, batch_format="pyarrow"),
+        "c_mktsegment",
+        "dev",
+        cents_in=True,
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        m = ray.get(med_ref)
+        return pa.table(
+            {
+                "c_mktsegment": t["c_mktsegment"],
+                "median_cents": pa.array(
+                    [m[s] for s in t["c_mktsegment"].to_pylist()],
+                    pa.int64(),
+                ),
+                "mad_cents": pc.cast(t["median_cents"], pa.int64()),
+                "n_rows": pc.cast(t["n"], pa.int64()),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_GROUPED_MAD = """
+WITH c AS (
+  SELECT c_mktsegment AS g,
+         CAST(round(c_acctbal*100) AS BIGINT) AS v
+  FROM customer
+),
+r1 AS (
+  SELECT g, v,
+         row_number() OVER (PARTITION BY g ORDER BY v) - 1 AS rn,
+         count(*) OVER (PARTITION BY g) AS n
+  FROM c
+),
+med AS (
+  SELECT g, v AS med, n FROM r1 WHERE rn = (n - 1) // 2
+),
+d AS (
+  SELECT c.g, abs(c.v - med.med) AS v FROM c JOIN med ON med.g = c.g
+),
+r2 AS (
+  SELECT g, v,
+         row_number() OVER (PARTITION BY g ORDER BY v) - 1 AS rn,
+         count(*) OVER (PARTITION BY g) AS n
+  FROM d
+)
+SELECT r2.g AS c_mktsegment,
+       any_value(med.med) AS median_cents,
+       any_value(r2.v) AS mad_cents,
+       CAST(any_value(r2.n) AS BIGINT) AS n_rows
+FROM r2 JOIN med ON med.g = r2.g
+WHERE r2.rn = (r2.n - 1) // 2
+GROUP BY r2.g
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -3992,6 +4079,7 @@ def queries() -> Dict[str, Callable]:
         "q_npy_roundtrip": q_npy_roundtrip,
         "q_fuzzy_names": q_fuzzy_names,
         "q_bfs_customers": q_bfs_customers,
+        "q_grouped_mad": q_grouped_mad,
         "q_tfidf": q_tfidf,
         "q_asof_join": q_asof_join,
         "q_redact": q_redact,
@@ -4103,6 +4191,7 @@ def _build_oracle_sql() -> Dict[str, str]:
         "q_npy_roundtrip": SQL_NPY_ROUNDTRIP,
         "q_fuzzy_names": SQL_FUZZY_NAMES,
         "q_bfs_customers": sql_q_bfs(),
+        "q_grouped_mad": SQL_GROUPED_MAD,
         "q_tfidf": SQL_TFIDF,
         "q_asof_join": SQL_ASOF_JOIN,
         "q_redact": SQL_REDACT,

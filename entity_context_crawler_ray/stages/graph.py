@@ -213,8 +213,8 @@ def bfs_levels(
             )
         ref = ray.put(np.array(sorted(frontier_nodes), dtype=np.int64))
 
-        def step(t: pa.Table, _k=k) -> pa.Table:
-            fr = ray.get(ref)
+        def step(t: pa.Table, _k=k, _ref=ref) -> pa.Table:
+            fr = ray.get(_ref)
             src = t["src"].to_numpy(zero_copy_only=False)
             mask = (
                 np.searchsorted(fr, src)

@@ -202,7 +202,10 @@ def sample_fraction(
 
 
 def grouped_median_cents(
-    ds: ray.data.Dataset, group_col: str, value_col: str
+    ds: ray.data.Dataset,
+    group_col: str,
+    value_col: str,
+    cents_in: bool = False,
 ) -> ray.data.Dataset:
     """EXACT per-group median (lower rule: ``sorted[(n-1)//2]``, the
     same rule as ``quantiles_exact``) of a cents-representable value
@@ -214,17 +217,23 @@ def grouped_median_cents(
     Scale shape: the shuffle moves distinct (group, cents) pairs —
     bounded by group × value cardinality, not corpus size — and no
     group ever materializes its raw rows, so a group with 10^9 rows
-    costs the same as one with 10^3."""
+    costs the same as one with 10^3.
+
+    ``cents_in=True`` means ``value_col`` already holds int64 cents
+    (e.g. a derived |difference| column) — no ×100 conversion."""
     import pandas as pd
     import pyarrow.compute as pc
     from ray.data.aggregate import Sum
 
     def partial(batch: pa.Table) -> pa.Table:
-        cents = pc.cast(
-            pc.round(pc.multiply(pc.cast(batch[value_col], pa.float64()),
-                                 pa.scalar(100.0))),
-            pa.int64(),
-        )
+        if cents_in:
+            cents = pc.cast(batch[value_col], pa.int64())
+        else:
+            cents = pc.cast(
+                pc.round(pc.multiply(pc.cast(batch[value_col], pa.float64()),
+                                     pa.scalar(100.0))),
+                pa.int64(),
+            )
         t = pa.table({group_col: batch[group_col], "cents": cents})
         agg = t.group_by([group_col, "cents"]).aggregate([("cents", "count")])
         return pa.table(
