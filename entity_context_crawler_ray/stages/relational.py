@@ -441,7 +441,12 @@ def rollup_sum_cents(
     the finest key) and ONE keyed exchange at the finest granularity;
     every coarser level is re-aggregated from the finest AGGREGATE
     (bounded by key-combination cardinality, not corpus size), never
-    from the raw rows — the classic rollup-from-cube trick."""
+    from the raw rows — the classic rollup-from-cube trick.
+
+    Edge semantics: an EMPTY input still yields the grand-total row
+    (0 cents / 0 rows), where SQL's GROUP BY ROLLUP yields no rows —
+    callers comparing against SQL on possibly-empty inputs should
+    drop that row."""
     import numpy as np
     import pyarrow.compute as pc
     from ray.data.aggregate import Sum

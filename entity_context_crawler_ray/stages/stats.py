@@ -562,14 +562,18 @@ def value_rank(
         ds.map_batches(partial, batch_format="pyarrow")
         .groupby("v")
         .aggregate(Sum("pn", alias_name="n"))
+        .materialize()  # count + collect share one execution
     )
-    rows = hist.take_all()
-    if len(rows) > max_distinct:
+    # guard BEFORE collecting: the count is a cheap distributed
+    # aggregate, the collect is the driver-memory risk being guarded
+    n_distinct = hist.count()
+    if n_distinct > max_distinct:
         raise ValueError(
-            f"value_rank: {len(rows)} distinct values > "
+            f"value_rank: {n_distinct} distinct values > "
             f"max_distinct={max_distinct}; bucket the column first "
             f"(bucket_by_boundaries) or raise the guard"
         )
+    rows = hist.take_all()
     vals = np.array([r["v"] for r in rows], dtype=np.int64)
     cnts = np.array([r["n"] for r in rows], dtype=np.int64)
     order = np.argsort(vals)
