@@ -199,18 +199,19 @@ def bfs_levels(
     )
 
     for k in range(1, iterations + 1):
-        frontier_nodes = [
-            r["node"]
-            for r in dist.filter(expr=f"d == {k - 1}").take_all()
-        ]
-        if not frontier_nodes:
+        frontier_ds = dist.filter(expr=f"d == {k - 1}").materialize()
+        # guard BEFORE collecting — the count is cheap, the collect is
+        # the driver-memory risk being guarded
+        n_frontier = frontier_ds.count()
+        if n_frontier == 0:
             break
-        if len(frontier_nodes) > max_frontier:
+        if n_frontier > max_frontier:
             raise ValueError(
-                f"bfs_levels: frontier of {len(frontier_nodes)} nodes "
+                f"bfs_levels: frontier of {n_frontier} nodes "
                 f"> max_frontier={max_frontier}; use a keyed-join hop "
                 f"for graphs this wide"
             )
+        frontier_nodes = [r["node"] for r in frontier_ds.take_all()]
         ref = ray.put(np.array(sorted(frontier_nodes), dtype=np.int64))
 
         def step(t: pa.Table, _k=k, _ref=ref) -> pa.Table:
