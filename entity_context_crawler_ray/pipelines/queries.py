@@ -4015,6 +4015,30 @@ GROUP BY r2.g
 """
 
 
+def q_cube_orders(sf_dir: str):
+    """GROUP BY CUBE(o_orderstatus, o_orderpriority) over order
+    revenue — all four grouping sets in one result, subtotal slots
+    labeled '*ALL*'.  One finest-grain exchange; every other set
+    re-aggregates the finest aggregate (relational.cube_sum_cents)."""
+    return relational.cube_sum_cents(
+        _read(sf_dir, "orders",
+              ["o_orderstatus", "o_orderpriority", "o_totalprice"]),
+        ["o_orderstatus", "o_orderpriority"],
+        "o_totalprice",
+    )
+
+
+SQL_CUBE_ORDERS = """
+SELECT coalesce(o_orderstatus, '*ALL*') AS o_orderstatus,
+       coalesce(o_orderpriority, '*ALL*') AS o_orderpriority,
+       CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)
+         AS sum_cents,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -4080,6 +4104,7 @@ def queries() -> Dict[str, Callable]:
         "q_fuzzy_names": q_fuzzy_names,
         "q_bfs_customers": q_bfs_customers,
         "q_grouped_mad": q_grouped_mad,
+        "q_cube_orders": q_cube_orders,
         "q_tfidf": q_tfidf,
         "q_asof_join": q_asof_join,
         "q_redact": q_redact,
@@ -4192,6 +4217,7 @@ def _build_oracle_sql() -> Dict[str, str]:
         "q_fuzzy_names": SQL_FUZZY_NAMES,
         "q_bfs_customers": sql_q_bfs(),
         "q_grouped_mad": SQL_GROUPED_MAD,
+        "q_cube_orders": SQL_CUBE_ORDERS,
         "q_tfidf": SQL_TFIDF,
         "q_asof_join": SQL_ASOF_JOIN,
         "q_redact": SQL_REDACT,

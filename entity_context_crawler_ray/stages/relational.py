@@ -481,9 +481,26 @@ def rollup_sum_cents(
     )
     base = pa.Table.from_pandas(finest.to_pandas(), preserve_index=False)
 
-    levels = [base]
-    for lvl in range(len(keys) - 1, -1, -1):
-        kept = keys[:lvl]
+    subsets = [tuple(keys[:lvl]) for lvl in range(len(keys) - 1, -1, -1)]
+    return pa.concat_tables(
+        [base] + _reaggregate_levels(base, keys, subsets, all_label)
+    )
+
+
+def _reaggregate_levels(
+    base: pa.Table,
+    keys: List[str],
+    kept_sets,
+    all_label: str,
+) -> List[pa.Table]:
+    """Build one coarser level per kept-key subset by re-aggregating
+    the finest AGGREGATE (never the raw rows); dropped key slots carry
+    ``all_label``."""
+    import pyarrow.compute as pc
+
+    levels = []
+    for kept in kept_sets:
+        kept = list(kept)
         if kept:
             agg = base.group_by(kept).aggregate(
                 [("sum_cents", "sum"), ("n_rows", "sum")]
@@ -497,13 +514,52 @@ def rollup_sum_cents(
             s = pa.array([pc.sum(base["sum_cents"]).as_py() or 0], pa.int64())
             c = pa.array([pc.sum(base["n_rows"]).as_py() or 0], pa.int64())
             cols = {}
-        for k in keys[lvl:]:
-            cols[k] = pa.array([all_label] * n, pa.string())
+        for k in keys:
+            if k not in kept:
+                cols[k] = pa.array([all_label] * n, pa.string())
         levels.append(
             pa.table({**{k: cols[k] for k in keys}, "sum_cents": s,
                       "n_rows": c})
         )
-    return pa.concat_tables(levels)
+    return levels
+
+
+def cube_sum_cents(
+    ds: ray.data.Dataset,
+    key_cols: Sequence[str],
+    value_col: str,
+    all_label: str = "*ALL*",
+) -> pa.Table:
+    """SQL ``GROUP BY CUBE(key_cols)``: every key subset's aggregate
+    in one result (2^k grouping sets), subtotal slots labeled
+    ``all_label``.  Same scale shape as :func:`rollup_sum_cents` —
+    one finest-grain exchange, every other grouping set re-aggregates
+    the finest AGGREGATE driver-side (bounded by key-combination
+    cardinality; k is small by construction)."""
+    from itertools import combinations
+
+    keys = list(key_cols)
+    finest = rollup_sum_cents(ds, keys, value_col, all_label=all_label)
+    # rollup already contains: full set + every PREFIX + grand total;
+    # add the remaining non-prefix subsets
+    have = {tuple(keys)} | {
+        tuple(keys[:i]) for i in range(len(keys), -1, -1)
+    }
+    missing = [
+        tuple(k for k in keys if k in set(sub))
+        for r in range(1, len(keys))
+        for sub in combinations(keys, r)
+        if tuple(k for k in keys if k in set(sub)) not in have
+    ]
+    import pyarrow.compute as pc
+
+    any_all = pc.equal(finest[keys[0]], all_label)
+    for k in keys[1:]:
+        any_all = pc.or_(any_all, pc.equal(finest[k], all_label))
+    base = finest.filter(pc.invert(any_all))
+    return pa.concat_tables(
+        [finest] + _reaggregate_levels(base, keys, missing, all_label)
+    )
 
 
 def set_compare(

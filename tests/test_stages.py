@@ -1234,3 +1234,23 @@ def test_bfs_levels_hand_computed():
         .sort_index()
     )
     assert out2.to_dict() == {1: 0, 2: 1, 3: 2, 4: 1, 5: 0}
+
+
+def test_cube_sum_cents_all_grouping_sets():
+    rows = [
+        {"g1": "x", "g2": "p", "v": 1.25},
+        {"g1": "x", "g2": "q", "v": 2.50},
+        {"g1": "y", "g2": "p", "v": 4.00},
+    ]
+    out = (
+        relational.cube_sum_cents(
+            ray.data.from_items(rows), ["g1", "g2"], "v"
+        )
+        .to_pandas()
+        .set_index(["g1", "g2"])
+    )
+    assert out.loc[("*ALL*", "p"), "sum_cents"] == 525   # the non-rollup set
+    assert out.loc[("*ALL*", "q"), "sum_cents"] == 250
+    assert out.loc[("x", "*ALL*"), "sum_cents"] == 375
+    assert out.loc[("*ALL*", "*ALL*"), "sum_cents"] == 775
+    assert len(out) == 8  # 3 finest + 2 g1-subs + 2 g2-subs + grand
