@@ -4039,6 +4039,100 @@ GROUP BY CUBE (o_orderstatus, o_orderpriority)
 """
 
 
+def q_weighted_sample(sf_dir: str):
+    """EXACT deterministic weighted sampling without replacement
+    (top-20 lineitems, selection probability ∝ l_quantity) via the
+    max-of-w trick: an item of integer weight w gets priority
+    max(md5_u64(key‖i) for i < w) — distributed as u^(1/w), the
+    Efraimidis–Spirakis key, but in pure integer md5 arithmetic so
+    both engines rank identically (no ln()/pow() cross-engine float
+    risk).  Per-batch partial top-k combiner + one tiny global sort;
+    the per-row cost is w hashes (weights are small integers by
+    contract)."""
+    from ray.data.aggregate import Max
+
+    li = _read(
+        sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_quantity"]
+    )
+    k = 20
+
+    def partial(t: pa.Table) -> pa.Table:
+        ok = t["l_orderkey"].to_pylist()
+        ln = t["l_linenumber"].to_pylist()
+        wt = [int(q) for q in t["l_quantity"].to_pylist()]
+        pri = [
+            max(
+                stats._sample_u64(f"{o}-{l}-{i}", "wsamp")
+                for i in range(max(w, 1))
+            )
+            for o, l, w in zip(ok, ln, wt)
+        ]
+        return pa.table(
+            {
+                "l_orderkey": pa.array(ok, pa.int64()),
+                "l_linenumber": pa.array(ln, pa.int64()),
+                # shift into signed range so the Dataset sort is exact
+                "pri": pa.array(
+                    [p - (1 << 63) for p in pri], pa.int64()
+                ),
+            }
+        )
+
+    # lineitem is NOT unique on (orderkey, linenumber) in this corpus:
+    # an ITEM's priority is the max over its duplicate rows (== max
+    # over i < max duplicate weight), exactly the SQL GROUP BY
+    deduped = (
+        li.map_batches(partial, batch_format="pyarrow")
+        .groupby(["l_orderkey", "l_linenumber"])
+        .aggregate(Max("pri", alias_name="pri"))
+    )
+
+    def topk(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            t,
+            sort_keys=[
+                ("pri", "descending"),
+                ("l_orderkey", "ascending"),
+                ("l_linenumber", "ascending"),
+            ],
+        )
+        return t.take(idx[:k])
+
+    return (
+        deduped.map_batches(topk, batch_format="pyarrow")
+        .sort(
+            ["pri", "l_orderkey", "l_linenumber"],
+            descending=[True, False, False],
+        )
+        .limit(k)
+        .select_columns(["l_orderkey", "l_linenumber"])
+    )
+
+
+SQL_WEIGHTED_SAMPLE = """
+WITH w AS (
+  SELECT l_orderkey, l_linenumber,
+         GREATEST(CAST(l_quantity AS BIGINT), 1) AS wt
+  FROM lineitem
+),
+h AS (
+  SELECT l_orderkey, l_linenumber,
+         max(CAST(('0x' || substr(md5('wsamp'
+               || CAST(l_orderkey AS VARCHAR) || '-'
+               || CAST(l_linenumber AS VARCHAR) || '-'
+               || CAST(i.i AS VARCHAR)), 1, 16)) AS UBIGINT)) AS pri
+  FROM w, (SELECT unnest(range(64)) AS i) i
+  WHERE i.i < w.wt
+  GROUP BY 1, 2
+)
+SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
+       CAST(l_linenumber AS BIGINT) AS l_linenumber
+FROM h
+ORDER BY pri DESC, l_orderkey, l_linenumber
+LIMIT 20
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -4105,6 +4199,7 @@ def queries() -> Dict[str, Callable]:
         "q_bfs_customers": q_bfs_customers,
         "q_grouped_mad": q_grouped_mad,
         "q_cube_orders": q_cube_orders,
+        "q_weighted_sample": q_weighted_sample,
         "q_tfidf": q_tfidf,
         "q_asof_join": q_asof_join,
         "q_redact": q_redact,
@@ -4218,6 +4313,7 @@ def _build_oracle_sql() -> Dict[str, str]:
         "q_bfs_customers": sql_q_bfs(),
         "q_grouped_mad": SQL_GROUPED_MAD,
         "q_cube_orders": SQL_CUBE_ORDERS,
+        "q_weighted_sample": SQL_WEIGHTED_SAMPLE,
         "q_tfidf": SQL_TFIDF,
         "q_asof_join": SQL_ASOF_JOIN,
         "q_redact": SQL_REDACT,
