@@ -4133,6 +4133,56 @@ LIMIT 20
 """
 
 
+def q_funnel(sf_dir: str):
+    """Ordered funnel per user (view -> click -> purchase with
+    strictly increasing timestamps) — sequence-pattern matching, the
+    MATCH_RECOGNIZE shape.  Greedy earliest-match per key equals the
+    SQL chained-min formulation, so the stage reached is
+    hash-verified."""
+    out = windows.funnel_stages(
+        _read(sf_dir, "events", ["user_id", "ts", "event_type"]),
+        ["view", "click", "purchase"],
+    )
+
+    def cast_cols(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": pc.cast(t["user_id"], pa.int64()),
+                "funnel_stage": pc.cast(t["funnel_stage"], pa.int64()),
+            }
+        )
+
+    return out.map_batches(cast_cols, batch_format="pyarrow")
+
+
+SQL_FUNNEL = """
+WITH u AS (SELECT DISTINCT user_id FROM events),
+s1 AS (
+  SELECT user_id, min(ts) AS t FROM events
+  WHERE event_type = 'view' GROUP BY 1
+),
+s2 AS (
+  SELECT e.user_id, min(e.ts) AS t
+  FROM events e JOIN s1 ON s1.user_id = e.user_id
+  WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY 1
+),
+s3 AS (
+  SELECT e.user_id, min(e.ts) AS t
+  FROM events e JOIN s2 ON s2.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY 1
+)
+SELECT CAST(u.user_id AS BIGINT) AS user_id,
+       CAST(CASE WHEN s3.user_id IS NOT NULL THEN 3
+                 WHEN s2.user_id IS NOT NULL THEN 2
+                 WHEN s1.user_id IS NOT NULL THEN 1
+                 ELSE 0 END AS BIGINT) AS funnel_stage
+FROM u
+LEFT JOIN s1 USING (user_id)
+LEFT JOIN s2 USING (user_id)
+LEFT JOIN s3 USING (user_id)
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -4200,6 +4250,7 @@ def queries() -> Dict[str, Callable]:
         "q_grouped_mad": q_grouped_mad,
         "q_cube_orders": q_cube_orders,
         "q_weighted_sample": q_weighted_sample,
+        "q_funnel": q_funnel,
         "q_tfidf": q_tfidf,
         "q_asof_join": q_asof_join,
         "q_redact": q_redact,
@@ -4314,6 +4365,7 @@ def _build_oracle_sql() -> Dict[str, str]:
         "q_grouped_mad": SQL_GROUPED_MAD,
         "q_cube_orders": SQL_CUBE_ORDERS,
         "q_weighted_sample": SQL_WEIGHTED_SAMPLE,
+        "q_funnel": SQL_FUNNEL,
         "q_tfidf": SQL_TFIDF,
         "q_asof_join": SQL_ASOF_JOIN,
         "q_redact": SQL_REDACT,

@@ -231,3 +231,57 @@ def ranked_per_key(
         .groupby(key_col)
         .map_groups(per_key, batch_format="pandas")
     )
+
+
+def funnel_stages(
+    events: ray.data.Dataset,
+    stages,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> ray.data.Dataset:
+    """Ordered funnel (sequence-pattern) analysis — the
+    MATCH_RECOGNIZE shape: for every key, the furthest prefix of
+    ``stages`` completed IN ORDER with STRICTLY increasing
+    timestamps (greedy earliest-match, which is optimal for
+    subsequence containment).  Returns (key, funnel_stage) with
+    funnel_stage in [0, len(stages)].
+
+    One key-partitioned exchange; per group a sort + single linear
+    scan.  Greedy earliest timestamps make the result identical to
+    the SQL chained-min formulation (t_k = min ts of stage k events
+    strictly after t_{k-1})."""
+    import numpy as np
+
+    stage_list = list(stages)
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        ts = (
+            pd.to_datetime(g[ts_col])
+            .astype("datetime64[us]")
+            .astype("int64")
+            .to_numpy()
+        )
+        types = g[type_col].to_numpy()
+        order = np.argsort(ts, kind="stable")
+        ts, types = ts[order], types[order]
+        reached = 0
+        last_t = None
+        for t, ty in zip(ts, types):
+            if reached == len(stage_list):
+                break
+            if ty == stage_list[reached] and (last_t is None or t > last_t):
+                last_t = t
+                reached += 1
+        return pd.DataFrame(
+            {
+                key_col: [g[key_col].iloc[0]],
+                "funnel_stage": [np.int64(reached)],
+            }
+        )
+
+    return (
+        events.select_columns([key_col, ts_col, type_col])
+        .groupby(key_col)
+        .map_groups(per_key, batch_format="pandas")
+    )

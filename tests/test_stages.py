@@ -1254,3 +1254,37 @@ def test_cube_sum_cents_all_grouping_sets():
     assert out.loc[("x", "*ALL*"), "sum_cents"] == 375
     assert out.loc[("*ALL*", "*ALL*"), "sum_cents"] == 775
     assert len(out) == 8  # 3 finest + 2 g1-subs + 2 g2-subs + grand
+
+
+def test_funnel_stages_ordering_and_strict_ts():
+    import pandas as pd
+
+    def ev(u, t, ty):
+        return {"user_id": u, "ts": pd.Timestamp(t), "event_type": ty}
+
+    rows = [
+        # u1 completes in order
+        ev(1, "2024-01-01 00:00", "view"),
+        ev(1, "2024-01-01 00:01", "click"),
+        ev(1, "2024-01-01 00:02", "purchase"),
+        # u2: purchase BEFORE click -> stalls at click... no: order is
+        # view, purchase, click => reaches click (stage 2), purchase
+        # never re-occurs after
+        ev(2, "2024-01-01 00:00", "view"),
+        ev(2, "2024-01-01 00:01", "purchase"),
+        ev(2, "2024-01-01 00:02", "click"),
+        # u3: click at the SAME ts as view -> strict > rejects it
+        ev(3, "2024-01-01 00:00", "view"),
+        ev(3, "2024-01-01 00:00", "click"),
+        # u4: never views
+        ev(4, "2024-01-01 00:00", "click"),
+    ]
+    out = (
+        windows.funnel_stages(
+            ray.data.from_items(rows), ["view", "click", "purchase"]
+        )
+        .to_pandas()
+        .set_index("user_id")["funnel_stage"]
+        .sort_index()
+    )
+    assert out.to_dict() == {1: 3, 2: 2, 3: 1, 4: 0}
