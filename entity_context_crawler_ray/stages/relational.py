@@ -18,6 +18,19 @@ import ray
 import ray.data
 
 
+def _bucket_ids(s: pd.Series, num_buckets: int):
+    """Stable bucket ids for a key column.  Integer keys are widened
+    to int64 FIRST: pandas hashes a small-width negative int (int32
+    -5) differently from the int64 -5 (view-then-astype), so two join
+    sides with mismatched key dtypes would land equal keys in
+    different buckets and emit wrong join/anti-join results."""
+    if pd.api.types.is_integer_dtype(s.dtype):
+        s = s.astype("int64")
+    return (
+        pd.util.hash_pandas_object(s, index=False).to_numpy() % num_buckets
+    ).astype("int32")
+
+
 def broadcast_inner_join(
     ds: ray.data.Dataset,
     small: pa.Table,
@@ -101,13 +114,7 @@ def hash_join_bucketed(
             # kernel with a hardcoded key (process-stable), so both
             # sides of the join bucket identically with no Python loop
             cols["__bucket"] = pa.array(
-                (
-                    pd.util.hash_pandas_object(
-                        t[key].to_pandas(), index=False
-                    ).to_numpy()
-                    % num_buckets
-                ).astype("int32"),
-                pa.int32(),
+                _bucket_ids(t[key].to_pandas(), num_buckets), pa.int32()
             )
             cols["__side"] = pa.array([side] * n)
             return pa.table(cols)
@@ -117,17 +124,27 @@ def hash_join_bucketed(
     lt = left.map_batches(tag("l", on, l_names), batch_format="pyarrow")
     rt = right.map_batches(tag("r", right_on, r_names), batch_format="pyarrow")
 
+    # the exact column list pandas merge emits, so every bucket —
+    # including empty / rhs-empty fallbacks — shares ONE schema even
+    # when the sides collide on non-key column names (collisions get
+    # the right-side suffix; a shared key name merges to one column)
+    merged_names = list(l_names)
+    for name in r_names:
+        if name == right_on and right_on == on:
+            continue
+        merged_names.append(name + suffix if name in l_names else name)
+
     def merge(g: pd.DataFrame) -> pd.DataFrame:
         lhs = g[g["__side"] == "l"][l_names]
         rhs = g[g["__side"] == "r"][r_names]
         if lhs.empty or (rhs.empty and how == "inner"):
-            return pd.DataFrame(columns=[*dict.fromkeys(l_names + r_names)])
+            return pd.DataFrame(columns=merged_names)
         if rhs.empty:  # left outer with no bucket matches
             out = lhs.copy()
-            for name in r_names:
+            for name in merged_names:
                 if name not in out.columns:
                     out[name] = pd.NA
-            return out
+            return out[merged_names]
         return lhs.merge(
             rhs, left_on=on, right_on=right_on, how=how, suffixes=("", suffix)
         )
@@ -170,13 +187,7 @@ def anti_join_bucketed(
 
     def tag_left(t: pa.Table) -> pa.Table:
         key = t[on]
-        bucket = pa.array(
-            (
-                pd.util.hash_pandas_object(key.to_pandas(), index=False).to_numpy()
-                % num_buckets
-            ).astype("int32"),
-            pa.int32(),
-        )
+        bucket = pa.array(_bucket_ids(key.to_pandas(), num_buckets), pa.int32())
         return t.append_column("__bucket", bucket).append_column(
             "__side", pa.array(["l"] * t.num_rows)
         )
@@ -188,13 +199,8 @@ def anti_join_bucketed(
         cols = {}
         for name in l_names:
             cols[name] = key if name == on else pa.nulls(n, l_types[name])
-        cols["__bucket"] = pa.array(
-            (
-                pd.util.hash_pandas_object(key.to_pandas(), index=False).to_numpy()
-                % num_buckets
-            ).astype("int32"),
-            pa.int32(),
-        )
+        cols["__bucket"] = pa.array(_bucket_ids(key.to_pandas(), num_buckets),
+                                    pa.int32())
         cols["__side"] = pa.array(["r"] * n)
         return pa.table(cols)
 
@@ -427,31 +433,30 @@ def salted_group_sum(
     )
 
 
-def rollup_sum_cents(
-    ds: ray.data.Dataset,
-    key_cols: Sequence[str],
-    value_col: str,
-    all_label: str = "*ALL*",
+def _finest_sum_cents(
+    ds: ray.data.Dataset, keys: List[str], value_col: str
 ) -> pa.Table:
-    """SQL ``GROUP BY ROLLUP(key_cols)`` over an exact cents sum +
-    row count: the finest level plus every prefix subtotal up to the
-    grand total, subtotal key slots carrying ``all_label``.
-
-    Scale shape: ONE map-side partial per batch (Arrow group_by on
-    the finest key) and ONE keyed exchange at the finest granularity;
-    every coarser level is re-aggregated from the finest AGGREGATE
-    (bounded by key-combination cardinality, not corpus size), never
-    from the raw rows — the classic rollup-from-cube trick.
-
-    Edge semantics: an EMPTY input still yields the grand-total row
-    (0 cents / 0 rows), where SQL's GROUP BY ROLLUP yields no rows —
-    callers comparing against SQL on possibly-empty inputs should
-    drop that row."""
-    import numpy as np
+    """The finest-grain (all keys) exact cents-sum + row-count
+    aggregate shared by ROLLUP and CUBE: one map-side Arrow group_by
+    partial per batch, ONE keyed exchange, result bounded by
+    key-combination cardinality.  Key columns must be string-typed —
+    coarser levels fill dropped slots with a string label, and a
+    non-string key would make that concat raise (or, worse, a genuine
+    key value could collide with the label if we compared sentinels;
+    see cube_sum_cents, which avoids sentinel comparison entirely)."""
     import pyarrow.compute as pc
     from ray.data.aggregate import Sum
 
-    keys = list(key_cols)
+    schema = ds.schema()
+    for k in keys:
+        typ = schema.types[schema.names.index(k)]
+        if isinstance(typ, pa.DataType) and not (
+            pa.types.is_string(typ) or pa.types.is_large_string(typ)
+        ):
+            raise TypeError(
+                f"rollup/cube key column {k!r} must be string-typed, "
+                f"got {typ} — cast it upstream"
+            )
 
     def partial(batch: pa.Table) -> pa.Table:
         cents = pc.cast(
@@ -479,8 +484,31 @@ def rollup_sum_cents(
         .aggregate(Sum("ps", alias_name="sum_cents"),
                    Sum("pn", alias_name="n_rows"))
     )
-    base = pa.Table.from_pandas(finest.to_pandas(), preserve_index=False)
+    return pa.Table.from_pandas(finest.to_pandas(), preserve_index=False)
 
+
+def rollup_sum_cents(
+    ds: ray.data.Dataset,
+    key_cols: Sequence[str],
+    value_col: str,
+    all_label: str = "*ALL*",
+) -> pa.Table:
+    """SQL ``GROUP BY ROLLUP(key_cols)`` over an exact cents sum +
+    row count: the finest level plus every prefix subtotal up to the
+    grand total, subtotal key slots carrying ``all_label``.
+
+    Scale shape: ONE map-side partial per batch (Arrow group_by on
+    the finest key) and ONE keyed exchange at the finest granularity;
+    every coarser level is re-aggregated from the finest AGGREGATE
+    (bounded by key-combination cardinality, not corpus size), never
+    from the raw rows — the classic rollup-from-cube trick.
+
+    Edge semantics: an EMPTY input still yields the grand-total row
+    (0 cents / 0 rows), where SQL's GROUP BY ROLLUP yields no rows —
+    callers comparing against SQL on possibly-empty inputs should
+    drop that row."""
+    keys = list(key_cols)
+    base = _finest_sum_cents(ds, keys, value_col)
     subsets = [tuple(keys[:lvl]) for lvl in range(len(keys) - 1, -1, -1)]
     return pa.concat_tables(
         [base] + _reaggregate_levels(base, keys, subsets, all_label)
@@ -535,30 +563,28 @@ def cube_sum_cents(
     ``all_label``.  Same scale shape as :func:`rollup_sum_cents` —
     one finest-grain exchange, every other grouping set re-aggregates
     the finest AGGREGATE driver-side (bounded by key-combination
-    cardinality; k is small by construction)."""
+    cardinality; k is small by construction).  The finest level is
+    held directly (shared helper with rollup) rather than
+    reconstructed by comparing key slots against ``all_label`` — a
+    genuine key value equal to the label can therefore never be
+    misclassified as a subtotal row."""
     from itertools import combinations
 
     keys = list(key_cols)
-    finest = rollup_sum_cents(ds, keys, value_col, all_label=all_label)
-    # rollup already contains: full set + every PREFIX + grand total;
-    # add the remaining non-prefix subsets
-    have = {tuple(keys)} | {
-        tuple(keys[:i]) for i in range(len(keys), -1, -1)
-    }
+    base = _finest_sum_cents(ds, keys, value_col)
+    # every grouping set except the full key set, coarsest-first to
+    # match rollup's prefix order followed by the non-prefix subsets
+    prefixes = [tuple(keys[:lvl]) for lvl in range(len(keys) - 1, -1, -1)]
+    have = {tuple(keys)} | set(prefixes)
     missing = [
         tuple(k for k in keys if k in set(sub))
         for r in range(1, len(keys))
         for sub in combinations(keys, r)
         if tuple(k for k in keys if k in set(sub)) not in have
     ]
-    import pyarrow.compute as pc
-
-    any_all = pc.equal(finest[keys[0]], all_label)
-    for k in keys[1:]:
-        any_all = pc.or_(any_all, pc.equal(finest[k], all_label))
-    base = finest.filter(pc.invert(any_all))
     return pa.concat_tables(
-        [finest] + _reaggregate_levels(base, keys, missing, all_label)
+        [base]
+        + _reaggregate_levels(base, keys, prefixes + missing, all_label)
     )
 
 

@@ -27,6 +27,18 @@ def _normalize(mat: np.ndarray) -> np.ndarray:
     return mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
 
 
+def _topk_det(ids: np.ndarray, sims: np.ndarray, k: int):
+    """Deterministic per-batch top-k on (cosine desc, id asc): ties at
+    the k boundary keep the SMALLER id, matching the global
+    sort+limit and the SQL twin.  A plain argpartition breaks boundary
+    ties arbitrarily, which matters for duplicate embeddings (common
+    in dedup corpora)."""
+    if len(ids) > k:
+        order = np.lexsort((ids, -sims))[:k]
+        return ids[order], sims[order]
+    return ids, sims
+
+
 def knn_bruteforce(
     embeddings: ray.data.Dataset,
     query: Sequence[float],
@@ -44,9 +56,7 @@ def knn_bruteforce(
         ids = np.asarray(batch[id_col].to_pylist())
         mat = _normalize(np.stack(batch[vec_col].to_pylist()).astype(np.float64))
         sims = mat @ qv
-        if len(ids) > k:
-            part = np.argpartition(-sims, k)[:k]
-            ids, sims = ids[part], sims[part]
+        ids, sims = _topk_det(ids, sims, k)
         return pa.table(
             {
                 id_col: pa.array(ids.tolist(), pa.int64()),
@@ -163,9 +173,7 @@ def knn_ivf(
                 {id_col: pa.array([], pa.int64()), "cosine": pa.array([], pa.float64())}
             )
         sims = mat @ qv
-        if len(ids) > k:
-            part = np.argpartition(-sims, k)[:k]
-            ids, sims = ids[part], sims[part]
+        ids, sims = _topk_det(ids, sims, k)
         return pa.table(
             {
                 id_col: pa.array(ids.tolist(), pa.int64()),
@@ -388,9 +396,7 @@ def knn_ivf_kmeans(
                 }
             )
         sims = _normalize(raw) @ qv
-        if len(ids) > k:
-            part = np.argpartition(-sims, k)[:k]
-            ids, sims = ids[part], sims[part]
+        ids, sims = _topk_det(ids, sims, k)
         return pa.table(
             {
                 id_col: pa.array(ids.tolist(), pa.int64()),

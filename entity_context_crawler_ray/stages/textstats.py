@@ -439,16 +439,20 @@ def contamination_counts(
             out |= grams_of(t)
         return pa.table({"gram": pa.array(sorted(out), pa.string())})
 
-    bench_grams = set(
-        benchmark.map_batches(bench_partial, batch_format="pyarrow")
-        .to_pandas()["gram"]
-    )
-    if len(bench_grams) > max_benchmark_grams:
+    grams_ds = benchmark.map_batches(
+        bench_partial, batch_format="pyarrow"
+    ).materialize()  # count + collect share one execution
+    # guard BEFORE collecting (same order as value_rank/bfs_levels):
+    # the row count is a cheap distributed aggregate, the set build is
+    # the driver-memory risk being guarded
+    n_grams = grams_ds.count()
+    if n_grams > max_benchmark_grams:
         raise ValueError(
-            f"benchmark gram set ({len(bench_grams)}) exceeds "
+            f"benchmark gram rows ({n_grams}) exceed "
             f"max_benchmark_grams={max_benchmark_grams}; use a "
             "gram-keyed distributed semi-join instead of broadcast"
         )
+    bench_grams = set(grams_ds.to_pandas()["gram"])
     ref = ray.put(bench_grams)
 
     def probe(batch: pa.Table) -> pa.Table:

@@ -247,10 +247,11 @@ def funnel_stages(
     subsequence containment).  Returns (key, funnel_stage) with
     funnel_stage in [0, len(stages)].
 
-    One key-partitioned exchange; per group a sort + single linear
-    scan.  Greedy earliest timestamps make the result identical to
-    the SQL chained-min formulation (t_k = min ts of stage k events
-    strictly after t_{k-1})."""
+    One key-partitioned exchange; per group a chained searchsorted —
+    per STAGE (a small constant), the min ts of that stage's events
+    strictly after the previous stage's matched ts, exactly the SQL
+    chained-min formulation (t_k = min ts of stage k events strictly
+    after t_{k-1}); no per-event Python loop."""
     import numpy as np
 
     stage_list = list(stages)
@@ -263,16 +264,15 @@ def funnel_stages(
             .to_numpy()
         )
         types = g[type_col].to_numpy()
-        order = np.argsort(ts, kind="stable")
-        ts, types = ts[order], types[order]
         reached = 0
-        last_t = None
-        for t, ty in zip(ts, types):
-            if reached == len(stage_list):
+        last_t = np.iinfo(np.int64).min
+        for stage in stage_list:
+            stage_ts = np.sort(ts[types == stage])
+            i = np.searchsorted(stage_ts, last_t, side="right")
+            if i >= len(stage_ts):
                 break
-            if ty == stage_list[reached] and (last_t is None or t > last_t):
-                last_t = t
-                reached += 1
+            last_t = stage_ts[i]
+            reached += 1
         return pd.DataFrame(
             {
                 key_col: [g[key_col].iloc[0]],
