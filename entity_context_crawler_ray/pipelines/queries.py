@@ -4039,73 +4039,59 @@ GROUP BY CUBE (o_orderstatus, o_orderpriority)
 """
 
 
-def q_weighted_sample(sf_dir: str):
-    """EXACT deterministic weighted sampling without replacement
-    (top-20 lineitems, selection probability ∝ l_quantity) via the
-    max-of-w trick: an item of integer weight w gets priority
-    max(md5_u64(key‖i) for i < w) — distributed as u^(1/w), the
-    Efraimidis–Spirakis key, but in pure integer md5 arithmetic so
-    both engines rank identically (no ln()/pow() cross-engine float
-    risk).  Per-batch partial top-k combiner + one tiny global sort;
-    the per-row cost is w hashes (weights are small integers by
-    contract)."""
-    from ray.data.aggregate import Max
-
+def _weighted_sample_input(sf_dir: str):
     li = _read(
         sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_quantity"]
     )
-    k = 20
 
-    def partial(t: pa.Table) -> pa.Table:
-        ok = t["l_orderkey"].to_pylist()
-        ln = t["l_linenumber"].to_pylist()
-        wt = [int(q) for q in t["l_quantity"].to_pylist()]
-        pri = [
-            max(
-                stats._sample_u64(f"{o}-{l}-{i}", "wsamp")
-                for i in range(max(w, 1))
-            )
-            for o, l, w in zip(ok, ln, wt)
-        ]
+    def wt(t: pa.Table) -> pa.Table:
         return pa.table(
             {
-                "l_orderkey": pa.array(ok, pa.int64()),
-                "l_linenumber": pa.array(ln, pa.int64()),
-                # shift into signed range so the Dataset sort is exact
-                "pri": pa.array(
-                    [p - (1 << 63) for p in pri], pa.int64()
-                ),
+                "l_orderkey": pc.cast(t["l_orderkey"], pa.int64()),
+                "l_linenumber": pc.cast(t["l_linenumber"], pa.int64()),
+                "wt": pc.cast(t["l_quantity"], pa.int64()),
             }
         )
 
-    # lineitem is NOT unique on (orderkey, linenumber) in this corpus:
-    # an ITEM's priority is the max over its duplicate rows (== max
-    # over i < max duplicate weight), exactly the SQL GROUP BY
-    deduped = (
-        li.map_batches(partial, batch_format="pyarrow")
-        .groupby(["l_orderkey", "l_linenumber"])
-        .aggregate(Max("pri", alias_name="pri"))
+    return li.map_batches(wt, batch_format="pyarrow")
+
+
+def q_weighted_sample(sf_dir: str):
+    """EXACT deterministic weighted sampling without replacement
+    (top-20 lineitems, selection probability ∝ l_quantity) via
+    ``stats.weighted_sample(mode='md5_maxw')``: an item of integer
+    weight w gets priority max(md5_u64(key‖i) for i < w) —
+    distributed as u^(1/w), the Efraimidis–Spirakis key, but in pure
+    integer md5 arithmetic so both engines rank identically (no
+    ln()/pow() cross-engine float risk).  The Σw hashes are computed
+    by the vectorized numpy MD5 kernel (functions/hashing.md5_u64) —
+    no per-row Python hash loop.  lineitem is NOT unique on
+    (orderkey, linenumber) in this corpus: an ITEM's priority is the
+    max over its duplicate rows, exactly the SQL GROUP BY."""
+    return stats.weighted_sample(
+        _weighted_sample_input(sf_dir),
+        ["l_orderkey", "l_linenumber"],
+        "wt",
+        k=20,
+        mode="md5_maxw",
+        salt="wsamp",
     )
 
-    def topk(t: pa.Table) -> pa.Table:
-        idx = pc.sort_indices(
-            t,
-            sort_keys=[
-                ("pri", "descending"),
-                ("l_orderkey", "ascending"),
-                ("l_linenumber", "ascending"),
-            ],
-        )
-        return t.take(idx[:k])
 
-    return (
-        deduped.map_batches(topk, batch_format="pyarrow")
-        .sort(
-            ["pri", "l_orderkey", "l_linenumber"],
-            descending=[True, False, False],
-        )
-        .limit(k)
-        .select_columns(["l_orderkey", "l_linenumber"])
+def q_weighted_sample_fast(sf_dir: str):
+    """Production twin of q_weighted_sample: ONE vectorized md5 per
+    item with the Efraimidis–Spirakis ln(u)/w key (cost O(N), not
+    O(Σ weight)) — the kernel that runs at 100 TB, where per-item
+    weights may be large.  Not SQL-oracled (cross-libm ln() ulp
+    risk at rank ties); rows-only here, exactness vs a local numpy
+    recomputation is asserted in tests/test_stages.py."""
+    return stats.weighted_sample(
+        _weighted_sample_input(sf_dir),
+        ["l_orderkey", "l_linenumber"],
+        "wt",
+        k=20,
+        mode="fixedpoint",
+        salt="wsamp",
     )
 
 
@@ -4250,6 +4236,7 @@ def queries() -> Dict[str, Callable]:
         "q_grouped_mad": q_grouped_mad,
         "q_cube_orders": q_cube_orders,
         "q_weighted_sample": q_weighted_sample,
+        "q_weighted_sample_fast": q_weighted_sample_fast,
         "q_funnel": q_funnel,
         "q_tfidf": q_tfidf,
         "q_asof_join": q_asof_join,

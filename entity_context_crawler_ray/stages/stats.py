@@ -201,6 +201,122 @@ def sample_fraction(
     return ds.map_batches(filt, batch_format="pyarrow")
 
 
+def _key_strings(t: pa.Table, key_cols: Sequence[str], salt: str) -> np.ndarray:
+    """Vectorized ``salt + k0 + '-' + k1 + ...`` message prefixes
+    (unicode array) — the exact string DuckDB builds with
+    ``salt || k0 || '-' || k1``.  Integer columns stringify the same
+    way in numpy ``.astype('U')`` and SQL ``CAST(.. AS VARCHAR)``."""
+    pref: np.ndarray | None = None
+    for c in key_cols:
+        col = t[c].to_numpy(zero_copy_only=False).astype("U")
+        pref = col if pref is None else np.char.add(np.char.add(pref, "-"), col)
+    return np.char.add(salt, pref)
+
+
+def weighted_sample(
+    ds: ray.data.Dataset,
+    key_cols: Sequence[str],
+    weight_col: str,
+    k: int = 20,
+    mode: str = "fixedpoint",
+    salt: str = "wsamp",
+    max_weight: int = 4096,
+) -> ray.data.Dataset:
+    """EXACT deterministic weighted sampling without replacement
+    (Efraimidis–Spirakis): top-``k`` items by a priority key whose
+    rank distribution equals selection probability ∝ weight.  Two
+    kernels, both fully vectorized (no per-row Python hash loop —
+    ``md5_u64`` is the numpy single-block MD5):
+
+    - ``mode="md5_maxw"`` — the oracle twin: an item of integer
+      weight w gets priority max(md5_u64(salt‖key‖'-'‖i) for i < w),
+      distributed as u^(1/w) but in pure integer md5 arithmetic so
+      DuckDB ranks identically (SQL_WEIGHTED_SAMPLE).  Cost: Σw
+      hashes, vectorized via repeat/reduceat; weights are bounded by
+      ``max_weight`` (raise, not truncate — the twin's validity
+      domain is explicit).
+    - ``mode="fixedpoint"`` — the production path: ONE hash per item,
+      u = (md5_u64(salt‖key)+1)/2^64, priority = ln(u)/w (float64,
+      monotone in u^(1/w)).  Cost O(N), not O(Σw); not SQL-oracled
+      (cross-libm ln() ulp risk), verified by unit test against a
+      local numpy recomputation instead.
+
+    Items are deduplicated before ranking (groupby(key).max(pri)): a
+    key's priority is the max over its duplicate rows, matching the
+    SQL GROUP BY.  Per-batch partial top-k bounds the exchange; the
+    global sort runs over ≤ k × num_blocks rows."""
+    from ray.data.aggregate import Max
+
+    if mode not in ("fixedpoint", "md5_maxw"):
+        raise ValueError("mode must be 'fixedpoint' or 'md5_maxw'")
+    key_cols = list(key_cols)
+    pri_type = pa.int64() if mode == "md5_maxw" else pa.float64()
+
+    def partial(t: pa.Table) -> pa.Table:
+        cols = {c: t[c] for c in key_cols}
+        n = t.num_rows
+        if n == 0:
+            cols["pri"] = pa.array([], pri_type)
+            return pa.table(cols)
+        from ..functions.hashing import md5_u64
+
+        w = np.maximum(
+            np.asarray(t[weight_col].to_pylist(), dtype=np.int64), 1
+        )
+        pref = _key_strings(t, key_cols, salt)
+        if mode == "md5_maxw":
+            wmax = int(w.max())
+            if wmax > max_weight:
+                raise ValueError(
+                    f"md5_maxw weight {wmax} > max_weight {max_weight}: "
+                    "the max-of-w twin costs O(Σ weight) hashes by design; "
+                    "use mode='fixedpoint' (one hash per item) instead"
+                )
+            starts = np.zeros(n, dtype=np.int64)
+            np.cumsum(w[:-1], out=starts[1:])
+            row_i = np.repeat(np.arange(n), w)
+            i_within = np.arange(int(w.sum()), dtype=np.int64) - np.repeat(
+                starts, w
+            )
+            msgs = np.char.add(
+                np.char.add(pref[row_i], "-"), i_within.astype("U")
+            )
+            h = md5_u64(msgs.astype("S"))
+            pri = np.maximum.reduceat(h, starts)
+            # shift into signed range so the Dataset sort is exact
+            cols["pri"] = pa.array(
+                (pri ^ np.uint64(1 << 63)).view(np.int64), pri_type
+            )
+        else:
+            u = md5_u64(pref.astype("S")).astype(np.float64) + 1.0
+            pri = np.log(u / float(U64)) / w
+            cols["pri"] = pa.array(pri, pri_type)
+        return pa.table(cols)
+
+    deduped = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(key_cols)
+        .aggregate(Max("pri", alias_name="pri"))
+    )
+
+    sort_keys = [("pri", "descending")] + [(c, "ascending") for c in key_cols]
+
+    def topk(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.take(pc.sort_indices(t, sort_keys=sort_keys)[:k])
+
+    return (
+        deduped.map_batches(topk, batch_format="pyarrow")
+        .sort(
+            ["pri"] + key_cols,
+            descending=[True] + [False] * len(key_cols),
+        )
+        .limit(k)
+        .select_columns(key_cols)
+    )
+
+
 def grouped_median_cents(
     ds: ray.data.Dataset,
     group_col: str,
