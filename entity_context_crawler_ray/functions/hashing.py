@@ -94,16 +94,17 @@ _MD5_S = (
 )
 
 
-def _md5_core(words: np.ndarray) -> np.ndarray:
-    """64 MD5 rounds over ``words`` (16, n) uint32 (contiguous rows so
-    each round's message gather is one sequential read).  In-place
-    uint32 ops on preallocated buffers — the temporaries stay
-    cache-resident at the chunk sizes ``md5_u64`` feeds in."""
+def _md5_core(words: np.ndarray, state) -> tuple:
+    """64 MD5 rounds over one message block per lane: ``words`` is
+    (16, n) uint32 (contiguous rows so each round's message gather is
+    one sequential read), ``state`` the four chaining uint32[n]
+    vectors.  In-place uint32 ops on preallocated buffers — the
+    temporaries stay cache-resident at the chunk sizes ``md5_u64``
+    feeds in.  Returns the updated chaining state (Merkle–Damgård:
+    state += round output)."""
+    a0, b0, c0, d0 = state
+    a, b, c, d = a0.copy(), b0.copy(), c0.copy(), d0.copy()
     n = words.shape[1]
-    a = np.full(n, 0x67452301, np.uint32)
-    b = np.full(n, 0xEFCDAB89, np.uint32)
-    c = np.full(n, 0x98BADCFE, np.uint32)
-    d = np.full(n, 0x10325476, np.uint32)
     f = np.empty(n, np.uint32)
     rot = np.empty(n, np.uint32)
     for i in range(64):
@@ -136,8 +137,83 @@ def _md5_core(words: np.ndarray) -> np.ndarray:
         f >>= np.uint32(32 - s)
         rot |= f
         b = b + rot
-    a = a + np.uint32(0x67452301)
-    b = b + np.uint32(0xEFCDAB89)
+    return (a0 + a, b0 + b, c0 + c, d0 + d)
+
+
+def _md5_digest_words(
+    msgs: np.ndarray, lengths: np.ndarray, chunk: int
+) -> tuple:
+    """Full vectorized MD5 (any message length): groups lanes by
+    block count so every group runs a rectangular (16, m) kernel per
+    block with Merkle–Damgård chaining.  Returns the four final
+    uint32[N] state vectors (little-endian digest words A, B, C, D)."""
+    n = msgs.shape[0]
+    width = msgs.dtype.itemsize
+    nblocks = (lengths + 9 + 63) // 64
+    A = np.empty(n, np.uint32)
+    B = np.empty(n, np.uint32)
+    C = np.empty(n, np.uint32)
+    D = np.empty(n, np.uint32)
+    for nb in np.unique(nblocks):
+        sel = np.flatnonzero(nblocks == nb)
+        # the common case (uniform block count) indexes with slices —
+        # a fancy-index gather here costs ~3x on short messages
+        contiguous = sel.size and int(sel[-1]) - int(sel[0]) + 1 == sel.size
+        ln = lengths[sel]
+        for lo in range(0, sel.size, chunk):
+            idx = (
+                slice(int(sel[lo]), int(sel[lo]) + min(chunk, sel.size - lo))
+                if contiguous
+                else sel[lo : lo + chunk]
+            )
+            m = min(chunk, sel.size - lo)
+            lens = ln[lo : lo + chunk]
+            buf = np.zeros((m, int(nb) * 64), dtype=np.uint8)
+            if width:
+                take = min(width, buf.shape[1])
+                buf[:, :take] = (
+                    msgs[idx].view(np.uint8).reshape(m, width)[:, :take]
+                )
+            buf[np.arange(m), lens] = 0x80        # 1-bit terminator
+            words = buf.view("<u4").reshape(m, int(nb) * 16)
+            bits = lens * 8                       # 64-bit LE bit length
+            words[:, -2] = (bits & 0xFFFFFFFF).astype(np.uint32)
+            words[:, -1] = (bits >> 32).astype(np.uint32)
+            state = (
+                np.full(m, 0x67452301, np.uint32),
+                np.full(m, 0xEFCDAB89, np.uint32),
+                np.full(m, 0x98BADCFE, np.uint32),
+                np.full(m, 0x10325476, np.uint32),
+            )
+            for blk in range(int(nb)):
+                block = np.ascontiguousarray(
+                    words[:, blk * 16 : (blk + 1) * 16].T
+                )
+                state = _md5_core(block, state)
+            A[idx], B[idx], C[idx], D[idx] = state
+    return A, B, C, D
+
+
+def _as_bytes_lanes(msgs: np.ndarray):
+    """Normalize to an S-dtype array + actual per-lane byte lengths
+    (fixed-width dtypes over-allocate: an int64 stringifies to U21,
+    so the dtype width is not the message length)."""
+    msgs = np.asarray(msgs, dtype="S")
+    lengths = np.char.str_len(msgs).astype(np.int64)
+    return msgs, lengths
+
+
+def md5_u64(msgs: np.ndarray, chunk: int = 1 << 16) -> np.ndarray:
+    """Vectorized MD5: ``msgs`` is a numpy bytes (``S``-dtype) array
+    (any length — multi-block messages chain).  Returns ``uint64[N]``
+    equal to ``int.from_bytes(hashlib.md5(m).digest()[:8], "big")``
+    per message — the exact value DuckDB's
+    ``CAST(('0x' || substr(md5(m),1,16)) AS UBIGINT)`` computes, so
+    md5-twin oracles can share this kernel."""
+    msgs, lengths = _as_bytes_lanes(msgs)
+    if msgs.shape[0] == 0:
+        return np.empty(0, dtype=np.uint64)
+    a, b, _, _ = _md5_digest_words(msgs, lengths, chunk)
     # digest[:8] = LE bytes of A then B, read big-endian:
     # u64 = byteswap32(A) << 32 | byteswap32(B)
     return (
@@ -146,42 +222,20 @@ def _md5_core(words: np.ndarray) -> np.ndarray:
     )
 
 
-def md5_u64(msgs: np.ndarray, chunk: int = 1 << 16) -> np.ndarray:
-    """Vectorized MD5 over short messages: ``msgs`` is a numpy bytes
-    (``S``-dtype) array whose elements are ≤ 55 bytes (single padded
-    block).  Returns ``uint64[N]`` equal to
-    ``int.from_bytes(hashlib.md5(m).digest()[:8], "big")`` per message
-    — the exact value DuckDB's ``CAST(('0x' || substr(md5(m),1,16)) AS
-    UBIGINT)`` computes, so md5-twin oracles can share this kernel."""
-    msgs = np.asarray(msgs, dtype="S")
-    n = msgs.shape[0]
-    if n == 0:
-        return np.empty(0, dtype=np.uint64)
-    # lengths BEFORE zero-padding into the block (S dtype strips
-    # trailing NULs; repo messages are ASCII text and never contain
-    # NUL, asserted by construction at the call sites)
-    lengths = np.char.str_len(msgs).astype(np.int64)
-    width = msgs.dtype.itemsize
-    if width > 55:
-        # fixed-width dtypes over-allocate (an int64 stringifies to
-        # U21); the single-block limit is on ACTUAL message length
-        longest = int(lengths.max())
-        if longest > 55:
-            raise ValueError(
-                f"md5_u64 is single-block only: max message length "
-                f"{longest} > 55"
-            )
-        msgs = msgs.astype(f"S{max(longest, 1)}")
-        width = msgs.dtype.itemsize
-    out = np.empty(n, np.uint64)
-    for lo in range(0, n, chunk):
-        hi = min(lo + chunk, n)
-        m = hi - lo
-        buf = np.zeros((m, 64), dtype=np.uint8)
-        if width:
-            buf[:, :width] = msgs[lo:hi].view(np.uint8).reshape(m, width)
-        buf[np.arange(m), lengths[lo:hi]] = 0x80   # 1-bit terminator
-        words = buf.view("<u4").reshape(m, 16)
-        words[:, 14] = (lengths[lo:hi] * 8).astype(np.uint32)  # bit length
-        out[lo:hi] = _md5_core(np.ascontiguousarray(words.T))
-    return out
+def md5_u128(msgs: np.ndarray, chunk: int = 1 << 16) -> tuple:
+    """Vectorized full-width MD5: returns ``(hi, lo)`` uint64 arrays —
+    the 128-bit digest read big-endian, split so callers can key an
+    exchange on two int64 columns.  64-bit gram keys collide at ~2^32
+    distinct grams (hours of a 100 TB corpus); span-dedup's production
+    path keys on the full 128 bits."""
+    msgs, lengths = _as_bytes_lanes(msgs)
+    if msgs.shape[0] == 0:
+        return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.uint64)
+    a, b, c, d = _md5_digest_words(msgs, lengths, chunk)
+    hi = (a.byteswap().astype(np.uint64) << np.uint64(32)) | b.byteswap().astype(
+        np.uint64
+    )
+    lo = (c.byteswap().astype(np.uint64) << np.uint64(32)) | d.byteswap().astype(
+        np.uint64
+    )
+    return hi, lo

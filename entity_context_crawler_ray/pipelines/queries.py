@@ -4169,6 +4169,236 @@ LEFT JOIN s3 USING (user_id)
 """
 
 
+def q_span_dedup(sf_dir: str):
+    """Substring-level exact dedup, span table (Lee et al. 2022
+    shape): maximal spans of >= 8 tokens that occur earlier anywhere
+    in the corpus — (doc_id, tok_start, tok_end), tok_end exclusive.
+    One gram-keyed exchange (keep-first by (doc_id, off)) + one
+    doc-keyed merge; the exchange key is the FULL 128-bit md5 of the
+    gram (the production key — 64-bit gram keys collide at ~2^32
+    distinct grams), which DuckDB reproduces exactly as md5(gram)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return dedup.span_dedup_spans(ds, n=8, hash_bits=128)
+
+
+_SPAN_CTES = """
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS ts
+  FROM documents
+),
+offs AS (
+  SELECT doc_id, ts,
+         unnest(range(greatest(len(ts) - 7, 0))) AS off
+  FROM toks
+),
+grams AS (
+  SELECT doc_id, off,
+         md5(array_to_string(ts[off + 1 : off + 8], ' ')) AS key
+  FROM offs
+),
+ranked AS (
+  SELECT doc_id, off,
+         row_number() OVER (PARTITION BY key ORDER BY doc_id, off) AS rn
+  FROM grams
+),
+dups AS (SELECT doc_id, off FROM ranked WHERE rn > 1),
+lagged AS (
+  SELECT doc_id, off,
+         CASE WHEN off - lag(off) OVER (PARTITION BY doc_id ORDER BY off)
+                   <= 8
+              THEN 0 ELSE 1 END AS brk
+  FROM dups
+),
+grp AS (
+  SELECT doc_id, off,
+         sum(brk) OVER (PARTITION BY doc_id ORDER BY off) AS g
+  FROM lagged
+),
+spans AS (
+  SELECT doc_id, min(off) AS tok_start, max(off) + 8 AS tok_end
+  FROM grp GROUP BY doc_id, g
+)
+"""
+
+SQL_SPAN_DEDUP = _SPAN_CTES + """
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(tok_start AS BIGINT) AS tok_start,
+       CAST(tok_end AS BIGINT) AS tok_end
+FROM spans
+"""
+
+
+def q_span_dedup_clean(sf_dir: str):
+    """Substring-level exact dedup, cleaning variant: the corpus with
+    every repeated >= 8-token span removed except its globally first
+    occurrence — (doc_id, clean_text, n_removed_tokens).  The whole
+    chain (gram keys -> keep-first window -> span merge -> token
+    drop -> text rebuild) is hash-verified against the SQL twin."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return dedup.span_dedup_clean(ds, n=8, hash_bits=128)
+
+
+SQL_SPAN_DEDUP_CLEAN = _SPAN_CTES + """,
+tokpos AS (
+  SELECT doc_id, unnest(ts) AS tok, unnest(range(len(ts))) AS pos
+  FROM toks
+),
+keep AS (
+  SELECT t.doc_id, t.pos, t.tok
+  FROM tokpos t
+  WHERE NOT EXISTS (
+    SELECT 1 FROM spans s
+    WHERE s.doc_id = t.doc_id
+      AND t.pos >= s.tok_start AND t.pos < s.tok_end
+  )
+)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       coalesce(string_agg(k.tok, ' ' ORDER BY k.pos), '') AS clean_text,
+       CAST(len(t.ts) - count(k.pos) AS BIGINT) AS n_removed_tokens
+FROM documents d
+JOIN toks t ON t.doc_id = d.doc_id
+LEFT JOIN keep k ON k.doc_id = d.doc_id
+GROUP BY d.doc_id, len(t.ts)
+"""
+
+
+_BPE_MERGES = 8
+
+
+def q_bpe_train(sf_dir: str):
+    """Trained BPE (Sennrich et al. 2016): learn the first 8 merges
+    over the corpus word counts — one pair-count exchange + 1-row
+    argmax per step, driver holds only the merge table.  Output
+    (step, lhs, rhs) is hash-verified against an unrolled CTE chain
+    (the PageRank precedent): SQL applies each learned merge with
+    replace('(a)(b)' -> '(ab)') over paren-wrapped symbol sequences,
+    which is exactly the trainer's single left-to-right pass (see
+    stages/textstats.py bpe_train)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    merges = textstats.bpe_train(ds, num_merges=_BPE_MERGES)
+    return pa.table(
+        {
+            "step": pa.array(range(1, len(merges) + 1), pa.int64()),
+            "lhs": pa.array([m[0] for m in merges], pa.string()),
+            "rhs": pa.array([m[1] for m in merges], pa.string()),
+        }
+    )
+
+
+def _bpe_sql_ctes(num_merges: int) -> str:
+    """Unrolled BPE-training CTE chain: words -> seq0, then per step k
+    a pair-count argmax p{k} and the merged sequences seq{k}."""
+    parts = ["""
+WITH words AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS cnt
+  FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS word
+        FROM documents)
+  GROUP BY word
+),
+seq0 AS (
+  SELECT word, cnt,
+         '(' || array_to_string(regexp_extract_all(word, '.'), ')(') || ')'
+           AS seq
+  FROM words
+)"""]
+    for k in range(1, num_merges + 1):
+        parts.append(f""",
+p{k} AS (
+  SELECT a, b FROM (
+    SELECT ts[i + 1] AS a, ts[i + 2] AS b, sum(cnt) AS c
+    FROM (SELECT cnt, ts, unnest(range(len(ts) - 1)) AS i
+          FROM (SELECT cnt, string_split(trim(seq, '()'), ')(') AS ts
+                FROM seq{k - 1}))
+    GROUP BY a, b ORDER BY c DESC, a, b LIMIT 1)
+),
+seq{k} AS (
+  SELECT word, cnt,
+         replace(seq, '(' || p{k}.a || ')(' || p{k}.b || ')',
+                 '(' || p{k}.a || p{k}.b || ')') AS seq
+  FROM seq{k - 1}, p{k}
+)""")
+    return "".join(parts)
+
+
+SQL_BPE_TRAIN = _bpe_sql_ctes(_BPE_MERGES) + "\n" + "\nUNION ALL ".join(
+    f"SELECT CAST({k} AS BIGINT) AS step, a AS lhs, b AS rhs FROM p{k}"
+    for k in range(1, _BPE_MERGES + 1)
+)
+
+
+def q_bpe_encode(sf_dir: str):
+    """Apply the trained merge table: per-doc token count under the
+    8-merge BPE learned by q_bpe_train — (doc_id, n_bpe_tokens).
+    (``q_token_bpe`` counts pre-tokenizer pieces; this is the trained
+    encoder over the ``[a-z0-9_]+`` word stream.)"""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    merges = textstats.bpe_train(ds, num_merges=_BPE_MERGES)
+    return textstats.bpe_encode_count(ds, merges)
+
+
+SQL_BPE_ENCODE = _bpe_sql_ctes(_BPE_MERGES) + f""",
+wtok AS (
+  SELECT word,
+         len(string_split(trim(seq, '()'), ')(')) AS ntok
+  FROM seq{_BPE_MERGES}
+),
+doc_words AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS word
+  FROM documents
+)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       CAST(coalesce(sum(w.ntok), 0) AS BIGINT) AS n_bpe_tokens
+FROM documents d
+LEFT JOIN doc_words dw ON dw.doc_id = d.doc_id
+LEFT JOIN wtok w ON w.word = dw.word
+GROUP BY d.doc_id
+"""
+
+
+def q_quality_model(sf_dir: str):
+    """Model-based quality classifier inference (the fastText/linear
+    shape): hashed bag-of-words -> integer dot product against weights
+    built once per ACTOR (map_batches with the class + concurrency =
+    the actor-pool pattern; in production ``__init__`` loads a weight
+    file).  Integer arithmetic end-to-end, so the DuckDB twin rebuilds
+    the same weights and hash-matches (doc_id, score, keep)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(
+        textstats.QualityModel,
+        fn_constructor_kwargs={"dim": 4096},
+        batch_format="pyarrow",
+        concurrency=2,
+    )
+
+
+SQL_QUALITY_MODEL = """
+WITH dw AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS word
+  FROM documents
+),
+feat AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5('qw' || word), 1, 16)) AS UBIGINT) % 4096
+           AS j
+  FROM dw
+),
+wts AS (
+  SELECT j,
+         CAST((j * 2654435761) % 4294967296 % 2001 AS BIGINT) - 1000 AS wt
+  FROM (SELECT unnest(range(4096)) AS j)
+)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       CAST(coalesce(sum(w.wt), 0) AS BIGINT) AS score,
+       coalesce(sum(w.wt), 0) > 0 AS keep
+FROM documents d
+LEFT JOIN feat f ON f.doc_id = d.doc_id
+LEFT JOIN wts w ON w.j = f.j
+GROUP BY d.doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -4192,6 +4422,8 @@ def queries() -> Dict[str, Callable]:
         "q_quality": q_quality,
         "q_lang_id": q_lang_id,
         "q_exact_dedup": q_exact_dedup,
+        "q_span_dedup": q_span_dedup,
+        "q_span_dedup_clean": q_span_dedup_clean,
         "q_fingerprint": q_fingerprint,
         "q_jaccard_vs_doc0": q_jaccard_vs_doc0,
         # embeddings (oracle-checked)
@@ -4202,6 +4434,9 @@ def queries() -> Dict[str, Callable]:
         "q_sessions": q_sessions,
         # custom operators (oracle-checked)
         "q_token_bpe": q_token_bpe,
+        "q_bpe_train": q_bpe_train,
+        "q_bpe_encode": q_bpe_encode,
+        "q_quality_model": q_quality_model,
         "q_anti_join": q_anti_join,
         "q_events_sliding": q_events_sliding,
         "q_events_cumulative": q_events_cumulative,
@@ -4311,6 +4546,8 @@ def _build_oracle_sql() -> Dict[str, str]:
         "q_quality": SQL_QUALITY,
         "q_lang_id": SQL_LANG_ID,
         "q_exact_dedup": SQL_EXACT_DEDUP,
+        "q_span_dedup": SQL_SPAN_DEDUP,
+        "q_span_dedup_clean": SQL_SPAN_DEDUP_CLEAN,
         "q_fingerprint": SQL_FINGERPRINT,
         "q_jaccard_vs_doc0": SQL_JACCARD_VS_DOC0,
         "q_knn_cosine": SQL_KNN_COSINE,
@@ -4318,6 +4555,9 @@ def _build_oracle_sql() -> Dict[str, str]:
         "q_minhash_bands": SQL_MINHASH_BANDS,
         "q_knn_ivf": SQL_KNN_IVF,
         "q_token_bpe": SQL_TOKEN_BPE,
+        "q_bpe_train": SQL_BPE_TRAIN,
+        "q_bpe_encode": SQL_BPE_ENCODE,
+        "q_quality_model": SQL_QUALITY_MODEL,
         "q_anti_join": SQL_ANTI_JOIN,
         "q_events_sliding": SQL_EVENTS_SLIDING,
         "q_events_cumulative": SQL_EVENTS_CUMULATIVE,

@@ -166,3 +166,30 @@ def _step_minhash_bands(ds, num_perm: int = 16, bands: int = 4, shingle_n: int =
         ),
         batch_format="pyarrow",
     )
+
+
+@register_step("quality_model", "linear classifier inference (actor pool)")
+def _step_quality_model(ds, dim: int = 4096, concurrency: int = 2):
+    from ..stages.textstats import QualityModel
+
+    return ds.map_batches(
+        QualityModel,
+        fn_constructor_kwargs={"dim": dim},
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+
+
+@register_step("span_dedup", "remove repeated >=n-token spans corpus-wide")
+def _step_span_dedup(ds, n: int = 8):
+    from ..stages import dedup
+
+    return dedup.span_dedup_clean(ds, n=n)
+
+
+@register_step("bpe_encode", "token count under a trained BPE merge table")
+def _step_bpe_encode(ds, num_merges: int = 8):
+    from ..stages import textstats
+
+    merges = textstats.bpe_train(ds, num_merges=num_merges)
+    return textstats.bpe_encode_count(ds, merges)

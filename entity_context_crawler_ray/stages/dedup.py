@@ -987,3 +987,225 @@ def fuzzy_pairs_lev1(
         return t.filter(pc.less_equal(t["dist"], 1))
 
     return cand.map_batches(verify, batch_format="pyarrow")
+
+
+# --- Substring-level exact dedup (repeated-span removal) -------------------
+#
+# The Lee et al. 2022 ("Deduplicating Training Data Makes Language
+# Models Better") shape, without the suffix array: mark text spans of
+# >= n tokens that occur more than once ANYWHERE in the corpus, keep
+# only the globally first occurrence.  The reference dedups whole rows
+# on PKs only (reference dao/matches_db.py:42,92,131) — this operator
+# is the training-data-pipeline extension.
+#
+# Scale shape (no suffix-array materialization, no driver state):
+#   1. map_batches: tokenize each doc, emit one (gram-key, doc_id,
+#      off) triple per n-gram — fixed-width keys, never text, leave
+#      the node;
+#   2. ONE key-partitioned exchange: groupby(gram key), keep-first by
+#      (doc_id, off) inside each group, emit the rest as duplicate
+#      occurrences;
+#   3. groupby(doc_id): merge overlapping [off, off+n) token windows
+#      into maximal spans (gaps-and-islands), and — for the cleaning
+#      variant — drop the covered tokens from the text.
+# Hot grams (site boilerplate repeated millions of times) make big
+# groups in step 2; the kernel is a single mergesort + slice, linear
+# in group size, and the group rows are 24-byte triples.
+
+def span_ngram_occurrences(
+    documents: ray.data.Dataset,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_bits: int = 128,
+) -> ray.data.Dataset:
+    """(key_hi[, key_lo], doc_id, off) per n-gram occurrence.  Grams
+    are md5-keyed (vectorized numpy MD5) so the DuckDB twin computes
+    identical keys; ``hash_bits=128`` keys the exchange on the full
+    digest (64-bit keys collide at ~2^32 distinct grams — hours of a
+    100 TB corpus), ``hash_bits=64`` is the md5-twin oracle mode.
+    Tokenization is the repo-wide ``[a-z0-9_]+`` lowercase idiom;
+    the gram string is the ' '-join of its tokens (what SQL md5s)."""
+    from ..functions.hashing import md5_u128, md5_u64
+
+    if hash_bits not in (64, 128):
+        raise ValueError("hash_bits must be 64 or 128")
+
+    def emit(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_pylist()
+        texts = t[text_col].to_pylist()
+        doc_parts, off_parts, gram_parts = [], [], []
+        for d, txt in zip(ids, texts):
+            toks = _WORD_RE.findall(txt.lower())
+            m = len(toks) - n + 1
+            if m <= 0:
+                continue
+            arr = np.asarray(toks)
+            g = arr[:m]
+            for j in range(1, n):           # vectorized gram join
+                g = np.char.add(np.char.add(g, " "), arr[j : j + m])
+            gram_parts.append(g)
+            doc_parts.append(np.full(m, d, np.int64))
+            off_parts.append(np.arange(m, dtype=np.int64))
+        cols: dict = {}
+        if gram_parts:
+            grams = np.concatenate(gram_parts).astype("S")
+            if hash_bits == 128:
+                hi, lo = md5_u128(grams)
+                cols["key_hi"] = pa.array(hi.view(np.int64), pa.int64())
+                cols["key_lo"] = pa.array(lo.view(np.int64), pa.int64())
+            else:
+                cols["key_hi"] = pa.array(
+                    md5_u64(grams).view(np.int64), pa.int64()
+                )
+            cols[id_col] = pa.array(np.concatenate(doc_parts), pa.int64())
+            cols["off"] = pa.array(np.concatenate(off_parts), pa.int64())
+        else:
+            cols["key_hi"] = pa.array([], pa.int64())
+            if hash_bits == 128:
+                cols["key_lo"] = pa.array([], pa.int64())
+            cols[id_col] = pa.array([], pa.int64())
+            cols["off"] = pa.array([], pa.int64())
+        # column order must be stable across batches
+        order = (
+            ["key_hi", "key_lo", id_col, "off"]
+            if hash_bits == 128
+            else ["key_hi", id_col, "off"]
+        )
+        return pa.table({c: cols[c] for c in order})
+
+    return documents.map_batches(emit, batch_format="pyarrow")
+
+
+def span_dup_offsets(
+    documents: ray.data.Dataset,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_bits: int = 128,
+) -> ray.data.Dataset:
+    """Duplicate n-gram occurrences (doc_id, off): every occurrence of
+    a gram except the globally FIRST by (doc_id, off) ascending — the
+    SQL ``row_number() OVER (PARTITION BY key ORDER BY doc_id, off)
+    > 1`` window, realized as one gram-key-partitioned exchange."""
+    occ = span_ngram_occurrences(
+        documents, n=n, id_col=id_col, text_col=text_col, hash_bits=hash_bits
+    )
+    key_cols = ["key_hi", "key_lo"] if hash_bits == 128 else ["key_hi"]
+
+    def dups(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return g.iloc[0:0][[id_col, "off"]]
+        g = g.sort_values([id_col, "off"], kind="mergesort")
+        return g.iloc[1:][[id_col, "off"]]
+
+    return occ.groupby(key_cols).map_groups(dups, batch_format="pandas")
+
+
+def _merge_offsets(offs: np.ndarray, n: int) -> tuple:
+    """Merge sorted unique offsets' [off, off+n) windows into maximal
+    spans: a window merges into the running span when its start is
+    <= the previous start + n (overlap or adjacency).  Returns
+    (starts, ends) in token coordinates, end exclusive."""
+    brk = np.flatnonzero(np.diff(offs) > n)
+    starts = offs[np.concatenate(([0], brk + 1))]
+    ends = offs[np.concatenate((brk, [len(offs) - 1]))] + n
+    return starts, ends
+
+
+def span_dedup_spans(
+    documents: ray.data.Dataset,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_bits: int = 128,
+) -> ray.data.Dataset:
+    """Maximal duplicated spans per doc (doc_id, tok_start, tok_end):
+    the union of every duplicate n-gram window, merged by the
+    gaps-and-islands rule (two windows merge when their starts differ
+    by <= n).  ``tok_end`` is exclusive.  Two keyed exchanges total:
+    gram key (keep-first), then doc_id (merge)."""
+    dups = span_dup_offsets(
+        documents, n=n, id_col=id_col, text_col=text_col, hash_bits=hash_bits
+    )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        offs = np.unique(g["off"].to_numpy())
+        starts, ends = _merge_offsets(offs, n)
+        return pd.DataFrame(
+            {
+                id_col: np.full(len(starts), g[id_col].iloc[0], np.int64),
+                "tok_start": starts,
+                "tok_end": ends,
+            }
+        )
+
+    return dups.groupby(id_col).map_groups(merge, batch_format="pandas")
+
+
+def span_dedup_clean(
+    documents: ray.data.Dataset,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_bits: int = 128,
+) -> ray.data.Dataset:
+    """Remove duplicated spans from each doc: (doc_id, clean_text,
+    n_removed_tokens).  The globally first occurrence of a repeated
+    span survives; later copies are cut.  Docs with no duplicate
+    grams pass through whole.  The cleaned text is the ' '-join of
+    surviving tokens under the repo-wide ``[a-z0-9_]+`` lowercase
+    tokenization (lossless on the single-spaced corpus; a production
+    variant would track char offsets instead).
+
+    One extra doc_id-keyed exchange carries the duplicate offsets to
+    the doc text (tagged union, same pattern as the bucketed joins) —
+    the text itself moves through exactly one exchange."""
+    dups = span_dup_offsets(
+        documents, n=n, id_col=id_col, text_col=text_col, hash_bits=hash_bits
+    )
+
+    def tag_docs(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                id_col: pc.cast(t[id_col], pa.int64()),
+                text_col: t[text_col],
+                "off": pa.array(
+                    np.full(t.num_rows, -1, np.int64), pa.int64()
+                ),
+            }
+        )
+
+    def tag_dups(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                id_col: t[id_col],
+                text_col: pa.nulls(t.num_rows, pa.string()),
+                "off": t["off"],
+            }
+        )
+
+    tagged = documents.map_batches(
+        tag_docs, batch_format="pyarrow"
+    ).union(dups.map_batches(tag_dups, batch_format="pyarrow"))
+
+    def clean(g: pd.DataFrame) -> pd.DataFrame:
+        doc_rows = g[g["off"] < 0]
+        txt = doc_rows[text_col].iloc[0]
+        toks = _WORD_RE.findall(txt.lower())
+        offs = np.unique(g.loc[g["off"] >= 0, "off"].to_numpy())
+        keep = np.ones(len(toks), dtype=bool)
+        if offs.size:
+            starts, ends = _merge_offsets(offs, n)
+            for s, e in zip(starts, ends):
+                keep[s:e] = False
+        return pd.DataFrame(
+            {
+                id_col: [int(g[id_col].iloc[0])],
+                "clean_text": [" ".join(np.asarray(toks)[keep])] if toks
+                else [""],
+                "n_removed_tokens": [int((~keep).sum())],
+            }
+        )
+
+    return tagged.groupby(id_col).map_groups(clean, batch_format="pandas")

@@ -471,3 +471,222 @@ def contamination_counts(
         )
 
     return documents.map_batches(probe, batch_format="pyarrow")
+
+
+# --- Trained BPE (learned merge table) -------------------------------------
+#
+# ``bpe_token_count`` above counts PRE-TOKENIZER pieces; this section
+# learns an actual merge table (Sennrich et al. 2016) distributedly
+# and applies it.  Scale shape (the k-means sketch-exchange pattern,
+# similarity.py kmeans_centroids): the word-count table stays a
+# Dataset; each merge step is one map-side partial pair-count +
+# groupby(pair).sum exchange + a 1-row argmax; the driver holds only
+# the merge table (vocab-sized).
+#
+# Merge application is ONE left-to-right non-overlapping pass: within
+# a single rule (a, b) -> ab, merging cannot create a new (a, b)
+# adjacency (the merged symbol ab != a and != b), so one pass is
+# complete.  Symbols render as '(sym)' in the SQL twin, so DuckDB's
+# replace('(a)(b)' -> '(ab)') — also left-to-right non-overlapping,
+# with no boundary chars shared between occurrences — applies the
+# merge IDENTICALLY, making the whole training loop expressible as an
+# unrolled CTE chain (the PageRank precedent).
+
+_SYM_RE = re.compile(r"[a-z0-9_]+")
+
+
+def _apply_merges(word: str, merges: List[tuple]) -> List[str]:
+    """Apply a learned merge table to one word: start from characters,
+    run each merge rule in order as a single left-to-right pass."""
+    syms = list(word)
+    for a, b in merges:
+        if len(syms) < 2:
+            break
+        out = []
+        i = 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+def word_counts(
+    documents, text_col: str = "text"
+):
+    """(word, cnt) over the repo-wide ``[a-z0-9_]+`` lowercase
+    tokenization — map-side partial counts, one word-keyed exchange."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        counts: dict = {}
+        for t in batch[text_col].to_pylist():
+            for w in _SYM_RE.findall(t.lower()):
+                counts[w] = counts.get(w, 0) + 1
+        return pa.table(
+            {
+                "word": pa.array(list(counts.keys()), pa.string()),
+                "cnt": pa.array(list(counts.values()), pa.int64()),
+            }
+        )
+
+    return (
+        documents.map_batches(partial, batch_format="pyarrow")
+        .groupby("word")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )
+
+
+def bpe_train(
+    documents,
+    num_merges: int = 8,
+    text_col: str = "text",
+) -> List[tuple]:
+    """Learn ``num_merges`` BPE merges over the corpus.  Returns the
+    merge table [(left, right), ...] in training order.  Each step:
+    re-derive every word's symbol sequence from the merges so far
+    (stateless map — the words Dataset is materialized ONCE and
+    re-scanned, the Lloyd-iteration discipline), emit per-batch
+    partial adjacent-pair counts weighted by word count, ONE
+    pair-keyed exchange to sum, then argmax with the deterministic
+    (count desc, left asc, right asc) tie-break — a 1-row collect.
+    Driver state: the merge table only."""
+    import ray
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    words = word_counts(documents, text_col=text_col).materialize()
+    merges: List[tuple] = []
+    for _ in range(num_merges):
+        merges_ref = ray.put(list(merges))
+
+        def pair_partial(batch: pa.Table, _ref=merges_ref) -> pa.Table:
+            import ray as _ray
+
+            ms = _ray.get(_ref)
+            counts: dict = {}
+            for w, c in zip(
+                batch["word"].to_pylist(), batch["cnt"].to_pylist()
+            ):
+                syms = _apply_merges(w, ms)
+                for i in range(len(syms) - 1):
+                    k = (syms[i], syms[i + 1])
+                    counts[k] = counts.get(k, 0) + c
+            keys = list(counts.keys())
+            return pa.table(
+                {
+                    "a": pa.array([k[0] for k in keys], pa.string()),
+                    "b": pa.array([k[1] for k in keys], pa.string()),
+                    "c": pa.array(
+                        [counts[k] for k in keys], pa.int64()
+                    ),
+                }
+            )
+
+        top = (
+            words.map_batches(pair_partial, batch_format="pyarrow")
+            .groupby(["a", "b"])
+            .aggregate(Sum("c", alias_name="c"))
+            .sort(["c", "a", "b"], descending=[True, False, False])
+            .limit(1)
+            .take_all()
+        )
+        if not top:
+            break
+        merges.append((top[0]["a"], top[0]["b"]))
+    return merges
+
+
+def bpe_encode_count(
+    documents,
+    merges: List[tuple],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Per-doc token count under a TRAINED merge table: each
+    ``[a-z0-9_]+`` word encodes to its BPE symbols, the doc's count is
+    the sum — (doc_id, n_bpe_tokens).  Pure map_batches; the merge
+    table ships once via the closure (vocab-sized).  A per-batch word
+    cache bounds re-encoding cost (corpus vocabulary << corpus
+    tokens)."""
+    import ray.data
+
+    ms = list(merges)
+
+    def encode(batch: pa.Table) -> pa.Table:
+        cache: dict = {}
+        out = []
+        for t in batch[text_col].to_pylist():
+            n = 0
+            for w in _SYM_RE.findall(t.lower()):
+                k = cache.get(w)
+                if k is None:
+                    k = len(_apply_merges(w, ms))
+                    cache[w] = k
+                n += k
+            out.append(n)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "n_bpe_tokens": pa.array(out, pa.int64()),
+            }
+        )
+
+    return documents.map_batches(encode, batch_format="pyarrow")
+
+
+class QualityModel:
+    """Model-based quality classifier INFERENCE stage (the
+    linear/fastText shape): hashed bag-of-words features -> integer
+    dot product against a weight vector, emitting (doc_id, score,
+    keep).  The heuristic ``quality_score`` above is rule-based; this
+    is the learned-classifier plumbing.
+
+    Actor-pool pattern (the MediaEmbedder discipline, media.py:381):
+    pass the CLASS to ``map_batches(QualityModel, concurrency=N)`` so
+    the weight vector is built ONCE per actor in ``__init__`` — in
+    production that line is a weight-file load; here the weights are
+    synthesized deterministically (w[j] = (j*2654435761 mod 2^32) mod
+    2001 - 1000) so the DuckDB twin can rebuild them exactly and the
+    inference arithmetic is integer end-to-end (no cross-engine float
+    risk).  Feature hash: md5_u64('qw' ‖ word) mod dim, vectorized
+    via the numpy MD5 kernel; per-doc score = sum over word
+    OCCURRENCES (count-weighted bag), reduced with one reduceat."""
+
+    def __init__(self, dim: int = 4096, salt: str = "qw"):
+        self.dim = dim
+        self.salt = salt
+        j = np.arange(dim, dtype=np.uint64)
+        self.weights = (
+            (j * np.uint64(2654435761)) % np.uint64(1 << 32)
+            % np.uint64(2001)
+        ).astype(np.int64) - 1000
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.hashing import md5_u64
+
+        texts = batch["text"].to_pylist()
+        words: List[str] = []
+        starts = np.empty(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            starts[i] = len(words)
+            words.extend(_SYM_RE.findall(t.lower()))
+        scores = np.zeros(len(texts), dtype=np.int64)
+        if words:
+            msgs = np.char.add(self.salt, np.asarray(words)).astype("S")
+            buckets = md5_u64(msgs) % np.uint64(self.dim)
+            wt = self.weights[buckets.astype(np.int64)]
+            # per-doc sums; empty docs (start == next start) get 0
+            sums = np.add.reduceat(wt, np.minimum(starts, len(wt) - 1))
+            lens = np.diff(np.append(starts, len(wt)))
+            scores = np.where(lens > 0, sums, 0)
+        out = batch.drop_columns(["text"])
+        out = out.append_column("score", pa.array(scores, pa.int64()))
+        return out.append_column(
+            "keep", pa.array((scores > 0).tolist(), pa.bool_())
+        )

@@ -1295,8 +1295,10 @@ def test_md5_u64_matches_hashlib():
 
     from entity_context_crawler_ray.functions.hashing import md5_u64
 
-    msgs = [b"", b"a", b"x" * 55, b"wsamp123-4-7"] + [
-        ("k%d-%d" % (i, i * 7)).encode() for i in range(2000)
+    # mixed lengths spanning 1..5 blocks + block-boundary edges
+    msgs = [b"", b"a", b"x" * 55, b"y" * 56, b"z" * 64, b"q" * 119,
+            b"r" * 120, b"s" * 300, b"wsamp123-4-7"] + [
+        ("k%d-%d" % (i, i * 7)).encode() * (1 + i % 9) for i in range(2000)
     ]
     got = md5_u64(np.array(msgs, dtype="S"))
     exp = np.array(
@@ -1304,12 +1306,18 @@ def test_md5_u64_matches_hashlib():
         dtype=np.uint64,
     )
     assert (got == exp).all()
-    # over-wide dtype with short actual strings is fine...
-    wide = np.array([b"abc"], dtype="S70")
-    assert md5_u64(wide)[0] == exp[1] or True  # just runs
-    # ...but a genuinely >55-byte message raises (single-block only)
-    with pytest.raises(ValueError):
-        md5_u64(np.array([b"y" * 56], dtype="S"))
+    # over-wide dtype with short actual strings: length, not width
+    wide = np.array([b"a"], dtype="S70")
+    assert md5_u64(wide)[0] == exp[1]
+    # 128-bit variant: full digest split big-endian
+    from entity_context_crawler_ray.functions.hashing import md5_u128
+
+    hi, lo = md5_u128(np.array(msgs, dtype="S"))
+    exp_lo = np.array(
+        [int.from_bytes(hashlib.md5(m).digest()[8:], "big") for m in msgs],
+        dtype=np.uint64,
+    )
+    assert (hi == exp).all() and (lo == exp_lo).all()
 
 
 def test_weighted_sample_both_modes_match_local_recomputation():
@@ -1360,3 +1368,116 @@ def test_weighted_sample_both_modes_match_local_recomputation():
         stats.weighted_sample(
             big, ["k"], "w", k=1, mode="md5_maxw", max_weight=10
         ).to_pandas()
+
+
+def test_span_dedup_duplicated_paragraph_survives_once():
+    para = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    docs = ray.data.from_items(
+        [
+            {"doc_id": 1, "text": "unique one two three " + para + " tail words here"},
+            {"doc_id": 2, "text": "other prefix stuff " + para + " different ending now"},
+            {"doc_id": 3, "text": "totally unrelated content with no repeats at all whatsoever"},
+        ]
+    )
+    spans = (
+        dedup.span_dedup_spans(docs, n=8)
+        .to_pandas()
+        .sort_values(["doc_id", "tok_start"])
+        .reset_index(drop=True)
+    )
+    # only doc 2's copy is marked; doc 1 (globally first) is untouched
+    assert spans.to_dict("records") == [
+        {"doc_id": 2, "tok_start": 3, "tok_end": 13}
+    ]
+    clean = (
+        dedup.span_dedup_clean(docs, n=8)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert clean.loc[0, "clean_text"].count(para) == 1  # first copy survives
+    assert para not in clean.loc[1, "clean_text"]       # second copy removed
+    assert clean.loc[1, "clean_text"] == "other prefix stuff different ending now"
+    assert clean["n_removed_tokens"].tolist() == [0, 10, 0]
+    # the paragraph survives exactly once across the whole corpus
+    joined = " | ".join(clean["clean_text"])
+    assert joined.count(para) == 1
+
+
+def test_span_dedup_within_doc_and_short_docs():
+    rep = "one two three four five six seven eight"
+    docs = ray.data.from_items(
+        [
+            {"doc_id": 1, "text": rep + " middle filler words " + rep},
+            {"doc_id": 2, "text": "short doc"},
+        ]
+    )
+    clean = (
+        dedup.span_dedup_clean(docs, n=8)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # within-doc repeat: second occurrence removed, first kept
+    assert clean.loc[0, "clean_text"] == rep + " middle filler words"
+    # sub-n docs pass through whole
+    assert clean.loc[1, "clean_text"] == "short doc"
+    # 64-bit twin agrees with the 128-bit production key here
+    s64 = dedup.span_dedup_spans(docs, n=8, hash_bits=64).to_pandas()
+    s128 = dedup.span_dedup_spans(docs, n=8, hash_bits=128).to_pandas()
+    assert s64.sort_values(["doc_id", "tok_start"]).values.tolist() == \
+        s128.sort_values(["doc_id", "tok_start"]).values.tolist()
+
+
+def test_bpe_train_hand_computed_and_single_pass():
+    # corpus: 'aaab' x2, 'ab' x1
+    docs = ray.data.from_items(
+        [{"doc_id": 1, "text": "aaab aaab"}, {"doc_id": 2, "text": "ab"}]
+    )
+    merges = textstats.bpe_train(docs, num_merges=3)
+    # step1: pairs (a,a):4, (a,b):3 -> (a,a)
+    # step2: (aa,a):2, (a,b):3 -> (a,b)
+    # step3: aaab=[aa,ab], ab=[ab] -> (aa,ab):2
+    assert merges == [("a", "a"), ("a", "b"), ("aa", "ab")]
+    # single left-to-right pass: 'aaaa' + (a,a) -> [aa, aa], not [aaa..]
+    assert textstats._apply_merges("aaaa", [("a", "a")]) == ["aa", "aa"]
+    assert textstats._apply_merges("aaa", [("a", "a")]) == ["aa", "a"]
+    # encode under the learned table
+    enc = (
+        textstats.bpe_encode_count(docs, merges)
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    # doc1: aaab -> [aaab? no: aa,ab -> merge3 -> aaab] = 1 sym, x2 words
+    assert enc["n_bpe_tokens"].tolist() == [2, 1]
+
+
+def test_quality_model_matches_local_dot_product():
+    import hashlib
+
+    docs = ray.data.from_items(
+        [
+            {"doc_id": 1, "text": "alpha beta gamma alpha"},
+            {"doc_id": 2, "text": ""},
+            {"doc_id": 3, "text": "zeta"},
+        ]
+    )
+    out = (
+        docs.map_batches(
+            textstats.QualityModel,
+            fn_constructor_kwargs={"dim": 64},
+            batch_format="pyarrow",
+            concurrency=1,
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+    def wt(word):
+        j = int.from_bytes(hashlib.md5(b"qw" + word).digest()[:8], "big") % 64
+        return (j * 2654435761) % (1 << 32) % 2001 - 1000
+
+    exp1 = wt(b"alpha") * 2 + wt(b"beta") + wt(b"gamma")
+    assert out["score"].tolist() == [exp1, 0, wt(b"zeta")]
+    assert out["keep"].tolist() == [exp1 > 0, False, wt(b"zeta") > 0]
