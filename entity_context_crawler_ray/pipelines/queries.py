@@ -2589,10 +2589,9 @@ def q_stratified_sample(sf_dir: str):
     ds = _read(sf_dir, "events", ["event_id", "event_type"])
 
     def rank(batch: pa.Table) -> pa.Table:
-        rk = [
-            stats._sample_u64(str(e), "strat")
-            for e in batch["event_id"].to_pylist()
-        ]
+        rk = stats._sample_u64_vec(
+            batch["event_id"].to_numpy(zero_copy_only=False), "strat"
+        )
         return batch.append_column("rk", pa.array(rk, pa.uint64()))
 
     ranked = ds.map_batches(rank, batch_format="pyarrow")

@@ -381,42 +381,78 @@ def minhash_bands_md5(
     zero words emit no rows (both sides agree).  The production LSH
     path (MinHashLSH) keeps blake2b + 2^64; this variant exists to
     hash-verify the banding ALGORITHM end-to-end against SQL."""
+    from ..functions.hashing import md5_u128, md5_u64
+
     rows_per_band = num_perm // bands
-    M = 1 << 32
-    a = [
-        int(hashlib.md5(f"mh-a-{i}".encode()).hexdigest()[:8], 16) | 1
-        for i in range(num_perm)
-    ]
-    b = [
-        int(hashlib.md5(f"mh-b-{i}".encode()).hexdigest()[:8], 16)
-        for i in range(num_perm)
-    ]
-    out_id, out_band, out_hash = [], [], []
-    for doc_id, text in zip(batch[id_col].to_pylist(), batch[text_col].to_pylist()):
+    M = np.uint64(1 << 32)
+    a = np.array(
+        [
+            int(hashlib.md5(f"mh-a-{i}".encode()).hexdigest()[:8], 16) | 1
+            for i in range(num_perm)
+        ],
+        dtype=np.uint64,
+    )
+    b = np.array(
+        [
+            int(hashlib.md5(f"mh-b-{i}".encode()).hexdigest()[:8], 16)
+            for i in range(num_perm)
+        ],
+        dtype=np.uint64,
+    )
+    # one vectorized pass: all docs' shingles hash together, per-doc
+    # signatures fall out of a single axis-1 reduceat
+    ids = batch[id_col].to_pylist()
+    gram_parts: List[str] = []
+    keep_ids = []
+    starts_list = []
+    for doc_id, text in zip(ids, batch[text_col].to_pylist()):
         grams = word_shingles(text, shingle_n)
         if not grams:
             continue
-        hs = [
-            int(hashlib.md5(("sh" + g).encode()).hexdigest()[:8], 16) for g in grams
-        ]
-        hs_a = np.array(hs, dtype=np.uint64)
-        sig = [
-            int(((ai * hs_a + bi) % M).min()) for ai, bi in zip(a, b)
-        ]
-        for band in range(bands):
-            chunk = sig[band * rows_per_band : (band + 1) * rows_per_band]
-            out_id.append(doc_id)
-            out_band.append(band)
-            out_hash.append(
-                hashlib.md5(
-                    (str(band) + "-" + "-".join(str(v) for v in chunk)).encode()
-                ).hexdigest()
+        starts_list.append(len(gram_parts))
+        keep_ids.append(doc_id)
+        gram_parts.extend(grams)
+    if not gram_parts:
+        return pa.table(
+            {
+                id_col: pa.array([], batch[id_col].type),
+                "band_id": pa.array([], pa.int32()),
+                "band_hash": pa.array([], pa.string()),
+            }
+        )
+    msgs = np.char.add("sh", np.asarray(gram_parts)).astype("S")
+    # int(hexdigest[:8], 16) == the high 32 bits of the u64 digest head
+    hs = md5_u64(msgs) >> np.uint64(32)
+    starts = np.asarray(starts_list, dtype=np.int64)
+    with np.errstate(over="ignore"):
+        perms = (a[:, None] * hs[None, :] + b[:, None]) % M  # (P, grams)
+    sig = np.minimum.reduceat(perms, starts, axis=1)         # (P, docs)
+    # band-hash messages: 'band-v1-v2-...' built by vectorized joins
+    n_docs = len(keep_ids)
+    out_hash = np.empty((bands, n_docs), dtype=object)
+    for band in range(bands):
+        parts = np.char.mod("%d", sig[band * rows_per_band].astype(np.int64))
+        msg = np.char.add(f"{band}-", parts)
+        for r in range(1, rows_per_band):
+            nxt = np.char.mod(
+                "%d", sig[band * rows_per_band + r].astype(np.int64)
             )
+            msg = np.char.add(np.char.add(msg, "-"), nxt)
+        hi, lo = md5_u128(msg.astype("S"))
+        out_hash[band] = np.char.add(
+            np.char.mod("%016x", hi), np.char.mod("%016x", lo)
+        )
+    doc_idx = np.tile(np.arange(n_docs), bands)
+    band_idx = np.repeat(np.arange(bands), n_docs)
     return pa.table(
         {
-            id_col: pa.array(out_id, batch[id_col].type),
-            "band_id": pa.array(out_band, pa.int32()),
-            "band_hash": pa.array(out_hash, pa.string()),
+            id_col: pa.array(
+                [keep_ids[i] for i in doc_idx], batch[id_col].type
+            ),
+            "band_id": pa.array(band_idx, pa.int32()),
+            "band_hash": pa.array(
+                np.concatenate(out_hash).tolist(), pa.string()
+            ),
         }
     )
 

@@ -23,7 +23,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
 
-from .stats import _sample_u64
+from .stats import _sample_u64_vec
 
 
 def pack_sequences(
@@ -51,11 +51,7 @@ def pack_sequences(
 
     def rank(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_pylist()
-        rk = np.fromiter(
-            (_sample_u64(str(i), salt) for i in ids),
-            dtype=np.uint64,
-            count=len(ids),
-        )
+        rk = _sample_u64_vec(ids, salt)
         part = (rk >> np.uint64(shift)).astype(np.int64) if num_parts > 1 else (
             np.zeros(len(ids), dtype=np.int64)
         )

@@ -179,6 +179,31 @@ def _sample_u64(key: str, salt: str) -> int:
     )
 
 
+def _sample_u64_vec(vals, salt: str) -> np.ndarray:
+    """Vectorized ``_sample_u64`` (uint64[N]) via the numpy MD5 kernel
+    — message = ``salt + str(v)`` exactly, so every existing md5-twin
+    oracle is unchanged.  Integer/string arrays stringify through
+    numpy (identical to ``str()`` for those types); other types fall
+    back to a per-element ``str()`` (still no per-row hashlib call —
+    the hashing itself is one vector kernel)."""
+    from ..functions.hashing import md5_u64
+
+    arr = np.asarray(vals) if not isinstance(vals, np.ndarray) else vals
+    if arr.dtype.kind in "iu":
+        u = arr.astype("U")
+    elif arr.dtype.kind == "U":
+        u = arr
+    else:
+        u = np.array([str(v) for v in arr.tolist()], dtype="U")
+    try:
+        msgs = np.char.add(salt, u).astype("S")
+    except UnicodeEncodeError:
+        msgs = np.array(
+            [(salt + s).encode("utf-8") for s in u.tolist()], dtype="S"
+        )
+    return md5_u64(msgs)
+
+
 def sample_fraction(
     ds: ray.data.Dataset, key_col: str, p: float, salt: str = "sample"
 ) -> ray.data.Dataset:
@@ -186,17 +211,15 @@ def sample_fraction(
     md5_u64(salt ‖ str(key)) < floor(p·2^64).  Same key -> same
     decision on any partitioning / ordering / cluster size; the SQL
     twin is exact (see SQL_SAMPLE in queries.py)."""
-    threshold = int(p * U64)
+    threshold = np.uint64(int(p * U64)) if p < 1.0 else None
 
     def filt(batch: pa.Table) -> pa.Table:
-        mask = pa.array(
-            [
-                _sample_u64(str(k), salt) < threshold
-                for k in batch[key_col].to_pylist()
-            ],
-            pa.bool_(),
+        if threshold is None or batch.num_rows == 0:
+            return batch
+        u = _sample_u64_vec(
+            batch[key_col].to_numpy(zero_copy_only=False), salt
         )
-        return batch.filter(mask)
+        return batch.filter(pa.array(u < threshold, pa.bool_()))
 
     return ds.map_batches(filt, batch_format="pyarrow")
 
@@ -418,11 +441,7 @@ def hll_registers(
                     "pmax": pa.array([], pa.int64()),
                 }
             )
-        u = np.fromiter(
-            (_sample_u64(str(v), salt) for v in vals),
-            dtype=np.uint64,
-            count=len(vals),
-        )
+        u = _sample_u64_vec(vals, salt)
         bucket = (u >> np.uint64(64 - b)).astype(np.int64)
         rem = ((u >> np.uint64(64 - b - rem_bits)) & np.uint64(
             (1 << rem_bits) - 1
@@ -492,11 +511,8 @@ def cms_registers(
         d_col = np.repeat(np.arange(depth, dtype=np.int64), n)
         slots = np.concatenate(
             [
-                np.fromiter(
-                    (_sample_u64(v, f"{salt}{d}") % width for v in vals),
-                    dtype=np.int64,
-                    count=n,
-                )
+                (_sample_u64_vec(vals, f"{salt}{d}") % np.uint64(width))
+                .astype(np.int64)
                 for d in range(depth)
             ]
         )
@@ -596,12 +612,18 @@ def bloom_bits(
 
     def partial(batch: pa.Table) -> pa.Table:
         vals = [str(v) for v in batch[col].to_pylist()]
-        pos = {
-            _sample_u64(v, f"{salt}{d}") % m_bits
-            for v in vals
-            for d in range(k_hashes)
-        }
-        return pa.table({"bit": pa.array(sorted(pos), pa.int64())})
+        if not vals:
+            return pa.table({"bit": pa.array([], pa.int64())})
+        pos = np.unique(
+            np.concatenate(
+                [
+                    (_sample_u64_vec(vals, f"{salt}{d}") % np.uint64(m_bits))
+                    .astype(np.int64)
+                    for d in range(k_hashes)
+                ]
+            )
+        )
+        return pa.table({"bit": pa.array(pos, pa.int64())})
 
     from ray.data.aggregate import Count
 
@@ -630,16 +652,16 @@ def bloom_probe_flags(
 
     def probe(batch: pa.Table) -> pa.Table:
         b = ray.get(ref)
-        hits = [
-            int(
-                all(
-                    b[_sample_u64(str(v), f"{salt}{d}") % m_bits]
-                    for d in range(k_hashes)
-                )
-            )
-            for v in batch[col].to_pylist()
-        ]
-        return batch.append_column(out_col, pa.array(hits, pa.int64()))
+        if batch.num_rows == 0:
+            return batch.append_column(out_col, pa.array([], pa.int64()))
+        vals = batch[col].to_numpy(zero_copy_only=False)
+        hits = np.ones(len(vals), dtype=bool)
+        for d in range(k_hashes):
+            idx = (_sample_u64_vec(vals, f"{salt}{d}") % np.uint64(m_bits))
+            hits &= b[idx.astype(np.int64)]
+        return batch.append_column(
+            out_col, pa.array(hits.astype(np.int64), pa.int64())
+        )
 
     return ds.map_batches(probe, batch_format="pyarrow")
 
@@ -769,11 +791,7 @@ def hll_registers_by(
                     "pmax": pa.array([], pa.int64()),
                 }
             )
-        u = np.fromiter(
-            (_sample_u64(str(v), salt) for v in vals),
-            dtype=np.uint64,
-            count=len(vals),
-        )
+        u = _sample_u64_vec(vals, salt)
         bucket = (u >> np.uint64(64 - b)).astype(np.int64)
         rem = ((u >> np.uint64(64 - b - rem_bits)) & np.uint64(
             (1 << rem_bits) - 1

@@ -88,19 +88,37 @@ def lang_id(batch: pa.Table, text_col: str = "text") -> pa.Table:
 def fingerprint(batch: pa.Table, text_col: str = "text", shingle: int = 5) -> pa.Table:
     """Document fingerprint = lexicographic min of md5 hex digests of
     word ``shingle``-grams (md5 so DuckDB computes the identical
-    value); docs with < shingle words fingerprint the whole word list."""
+    value); docs with < shingle words fingerprint the whole word list.
+    Vectorized: all grams hash through the numpy MD5 kernel at once;
+    the per-doc lexicographic min over hex == numeric min over the
+    (hi, lo) u64 split, taken with two reduceat passes."""
+    from ..functions.hashing import md5_u128
+
     texts = batch[text_col].to_pylist()
-    fps = []
-    for t in texts:
+    gram_parts: List[str] = []
+    starts = np.empty(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts):
+        starts[i] = len(gram_parts)
         ws = _WORD_RE.findall(t)
-        grams = (
-            [" ".join(ws[i : i + shingle]) for i in range(len(ws) - shingle + 1)]
-            if len(ws) >= shingle
-            else [" ".join(ws)]
-        )
-        fps.append(min(hashlib.md5(g.encode("utf-8")).hexdigest() for g in grams))
+        if len(ws) >= shingle:
+            gram_parts.extend(
+                " ".join(ws[j : j + shingle])
+                for j in range(len(ws) - shingle + 1)
+            )
+        else:
+            gram_parts.append(" ".join(ws))
+    hi, lo = md5_u128(np.asarray(gram_parts, dtype="S"))
+    min_hi = np.minimum.reduceat(hi, starts)
+    doc_of = np.repeat(
+        np.arange(len(texts)), np.diff(np.append(starts, len(hi)))
+    )
+    lo_masked = np.where(hi == min_hi[doc_of], lo, np.uint64(-1))
+    min_lo = np.minimum.reduceat(lo_masked, starts)
+    fps = np.char.add(
+        np.char.mod("%016x", min_hi), np.char.mod("%016x", min_lo)
+    )
     out = batch.drop_columns([text_col])
-    return out.append_column("fingerprint", pa.array(fps, pa.string()))
+    return out.append_column("fingerprint", pa.array(fps.tolist(), pa.string()))
 
 
 # GPT-2-style pre-tokenizer (public: Radford et al. 2019, the released
@@ -282,23 +300,33 @@ def simhash64(batch: pa.Table, text_col: str = "text") -> pa.Table:
     word's 64-bit hash.  Word hash = first 8 bytes of md5 — md5 so the
     DuckDB oracle (SQL_SIMHASH) computes the identical signature.
     Stored as int64 with a -2^63 offset (no-word docs = -2^63)."""
+    from ..functions.hashing import md5_u64
+
     texts = batch[text_col].to_pylist()
-    sigs = []
-    for t in texts:
-        ws = _WORD_RE.findall(t.lower())
-        if not ws:
-            sigs.append(-(1 << 63))
-            continue
-        acc = np.zeros(64, dtype=np.int64)
-        for w in set(ws):
-            h = int.from_bytes(hashlib.md5(w.encode("utf-8")).digest()[:8], "big")
-            bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-            acc += np.where(bits.astype(bool), 1, -1)
-        sig = 0
-        for b in range(64):
-            if acc[b] > 0:
-                sig |= 1 << b
-        sigs.append(sig - (1 << 63))  # store as int64
+    words: List[str] = []
+    starts = np.empty(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts):
+        starts[i] = len(words)
+        words.extend(sorted(set(_WORD_RE.findall(t.lower()))))
+    sigs = np.full(len(texts), -(1 << 63), dtype=np.int64)
+    if words:
+        hs = md5_u64(np.asarray(words, dtype="S"))
+        # (n_words, 64) ±1 bit matrix, summed per doc with one reduceat
+        bits = (
+            (hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+            & np.uint64(1)
+        ).astype(np.int64)
+        contrib = 2 * bits - 1
+        lens = np.diff(np.append(starts, len(hs)))
+        acc = np.add.reduceat(
+            contrib, np.minimum(starts, len(hs) - 1), axis=0
+        )
+        sig = ((acc > 0).astype(np.uint64)
+               << np.arange(64, dtype=np.uint64)[None, :]).sum(
+            axis=1, dtype=np.uint64
+        )
+        signed = (sig ^ np.uint64(1 << 63)).view(np.int64)
+        sigs = np.where(lens > 0, signed, -(1 << 63))
     out = batch.drop_columns([text_col])
     return out.append_column("simhash", pa.array(sigs, pa.int64()))
 
