@@ -4355,6 +4355,117 @@ GROUP BY d.doc_id
 """
 
 
+def q_novelty(sf_dir: str):
+    """Per-doc n-gram novelty (quality/curriculum signal): how many of
+    a doc's 8-grams are the corpus-wide FIRST occurrence of their gram
+    — (doc_id, n_grams, n_novel).  Shares the span-dedup occurrence
+    emitter and its keep-first window; docs with < 8 tokens emit no
+    row in both engines."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = dedup.span_novelty(ds, n=8, hash_bits=128)
+
+    def cast_cols(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": pc.cast(t["doc_id"], pa.int64()),
+                "n_grams": pc.cast(t["n_grams"], pa.int64()),
+                "n_novel": pc.cast(t["n_novel"], pa.int64()),
+            }
+        )
+
+    return out.map_batches(cast_cols, batch_format="pyarrow")
+
+
+SQL_NOVELTY = """
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS ts
+  FROM documents
+),
+offs AS (
+  SELECT doc_id, ts, unnest(range(greatest(len(ts) - 7, 0))) AS off
+  FROM toks
+),
+grams AS (
+  SELECT doc_id, off,
+         md5(array_to_string(ts[off + 1 : off + 8], ' ')) AS key
+  FROM offs
+),
+ranked AS (
+  SELECT doc_id, off,
+         row_number() OVER (PARTITION BY key ORDER BY doc_id, off) AS rn
+  FROM grams
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+FROM ranked GROUP BY doc_id
+"""
+
+
+def q_winnow(sf_dir: str):
+    """Winnowing fingerprints (Schleimer et al. 2003): md5 word
+    5-gram hashes, rightmost minimum of each 4-window selected —
+    (doc_id, pos, fp).  Guarantees any >= 8-word shared run between
+    docs shares a fingerprint at ~2/(w+1) full-fingerprint density;
+    pure map_batches (the selection is per-doc local), hash-oracled
+    window by window."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def stage(t: pa.Table) -> pa.Table:
+        out = dedup.winnow_fingerprints(t, k=5, w=4)
+        return pa.table(
+            {
+                "doc_id": pc.cast(out["doc_id"], pa.int64()),
+                "pos": out["pos"],
+                "fp": out["fp"],
+            }
+        )
+
+    return ds.map_batches(stage, batch_format="pyarrow")
+
+
+SQL_WINNOW = """
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS ts
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, off, substr(md5(gram), 1, 16) AS fp,
+         CAST(('0x' || substr(md5(gram), 1, 16)) AS UBIGINT) AS h
+  FROM (
+    SELECT doc_id, unnest(range(len(ts) - 4)) AS off,
+           ts FROM toks WHERE len(ts) >= 5
+  ) g1, LATERAL (SELECT array_to_string(ts[off + 1 : off + 5], ' ') AS gram) x
+  UNION ALL
+  SELECT doc_id, 0 AS off, substr(md5(gram), 1, 16),
+         CAST(('0x' || substr(md5(gram), 1, 16)) AS UBIGINT)
+  FROM (
+    SELECT doc_id, array_to_string(ts, ' ') AS gram
+    FROM toks WHERE len(ts) < 5
+  )
+),
+nwin AS (SELECT doc_id, count(*) AS m FROM grams GROUP BY doc_id),
+wstarts AS (
+  SELECT doc_id, unnest(range(greatest(m - 3, 1))) AS s FROM nwin
+),
+wrows AS (
+  SELECT w.doc_id, w.s, g.off, g.h, g.fp
+  FROM wstarts w
+  JOIN grams g ON g.doc_id = w.doc_id
+             AND g.off >= w.s AND g.off < w.s + 4
+),
+sel AS (
+  SELECT doc_id, off, fp,
+         row_number() OVER (PARTITION BY doc_id, s
+                            ORDER BY h ASC, off DESC) AS rn
+  FROM wrows
+)
+SELECT DISTINCT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(off AS BIGINT) AS pos, fp
+FROM sel WHERE rn = 1
+"""
+
+
 def q_quality_model(sf_dir: str):
     """Model-based quality classifier inference (the fastText/linear
     shape): hashed bag-of-words -> integer dot product against weights
@@ -4423,6 +4534,8 @@ def queries() -> Dict[str, Callable]:
         "q_exact_dedup": q_exact_dedup,
         "q_span_dedup": q_span_dedup,
         "q_span_dedup_clean": q_span_dedup_clean,
+        "q_novelty": q_novelty,
+        "q_winnow": q_winnow,
         "q_fingerprint": q_fingerprint,
         "q_jaccard_vs_doc0": q_jaccard_vs_doc0,
         # embeddings (oracle-checked)
@@ -4547,6 +4660,8 @@ def _build_oracle_sql() -> Dict[str, str]:
         "q_exact_dedup": SQL_EXACT_DEDUP,
         "q_span_dedup": SQL_SPAN_DEDUP,
         "q_span_dedup_clean": SQL_SPAN_DEDUP_CLEAN,
+        "q_novelty": SQL_NOVELTY,
+        "q_winnow": SQL_WINNOW,
         "q_fingerprint": SQL_FINGERPRINT,
         "q_jaccard_vs_doc0": SQL_JACCARD_VS_DOC0,
         "q_knn_cosine": SQL_KNN_COSINE,

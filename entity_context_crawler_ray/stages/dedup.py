@@ -1245,3 +1245,98 @@ def span_dedup_clean(
         )
 
     return tagged.groupby(id_col).map_groups(clean, batch_format="pandas")
+
+
+def span_novelty(
+    documents: ray.data.Dataset,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_bits: int = 128,
+) -> ray.data.Dataset:
+    """Per-doc n-gram novelty (a quality signal for curriculum /
+    filtering): of a doc's n-grams, how many are the corpus-wide FIRST
+    occurrence of their gram — (doc_id, n_grams, n_novel).  Reuses the
+    span-dedup occurrence emitter: one gram-keyed exchange marks rank-1
+    occurrences, one doc-keyed aggregate counts.  Docs with < n tokens
+    emit no grams and no row (the SQL twin agrees)."""
+    from ray.data.aggregate import Count, Sum
+
+    occ = span_ngram_occurrences(
+        documents, n=n, id_col=id_col, text_col=text_col, hash_bits=hash_bits
+    )
+    key_cols = ["key_hi", "key_lo"] if hash_bits == 128 else ["key_hi"]
+
+    def mark(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([id_col, "off"], kind="mergesort")
+        novel = np.zeros(len(g), dtype=np.int64)
+        novel[0] = 1
+        return pd.DataFrame({id_col: g[id_col].to_numpy(), "novel": novel})
+
+    marked = occ.groupby(key_cols).map_groups(mark, batch_format="pandas")
+    return marked.groupby(id_col).aggregate(
+        Count(alias_name="n_grams"), Sum("novel", alias_name="n_novel")
+    )
+
+
+def winnow_fingerprints(
+    batch: pa.Table,
+    k: int = 5,
+    w: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> pa.Table:
+    """Winnowing fingerprints (Schleimer et al. 2003, the MOSS
+    scheme): hash every word ``k``-gram, slide a window of ``w``
+    consecutive hashes, select the window minimum (rightmost on ties),
+    dedup selections — guarantees any shared run of >= w+k-1 words
+    between two docs shares a fingerprint, at ~2/(w+1) the density of
+    full fingerprinting.  Emits (doc_id, pos, fp) with fp the md5-u64
+    hex of the selected gram, so the DuckDB twin reproduces every
+    selection.  Pure map_batches: grams hash through the vectorized
+    numpy MD5; window minima via one sliding_window_view argmin (the
+    reversed-axis trick gives the rightmost tie).  Docs with < k words
+    fingerprint their whole word list at pos 0."""
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    from ..functions.hashing import md5_u64
+
+    texts = batch[text_col].to_pylist()
+    ids = batch[id_col].to_pylist()
+    gram_parts: List[str] = []
+    starts = np.empty(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts):
+        starts[i] = len(gram_parts)
+        ws_ = _WORD_RE.findall(t.lower())
+        if len(ws_) >= k:
+            gram_parts.extend(
+                " ".join(ws_[j : j + k]) for j in range(len(ws_) - k + 1)
+            )
+        else:
+            gram_parts.append(" ".join(ws_))
+    hs = md5_u64(np.asarray(gram_parts, dtype="S"))
+    out_id, out_pos, out_fp = [], [], []
+    lens = np.diff(np.append(starts, len(hs)))
+    for i, d in enumerate(ids):
+        h = hs[starts[i] : starts[i] + lens[i]]
+        m = len(h)
+        if m == 0:
+            continue
+        if m <= w:
+            # single window: rightmost argmin over the whole doc
+            rev = m - 1 - int(np.argmin(h[::-1]))
+            sel = np.array([rev], dtype=np.int64)
+        else:
+            wins = sliding_window_view(h, w)          # (m-w+1, w)
+            rev = w - 1 - np.argmin(wins[:, ::-1], axis=1)
+            sel = np.unique(np.arange(m - w + 1) + rev)
+        out_id.extend([d] * len(sel))
+        out_pos.extend(sel.tolist())
+        out_fp.extend(np.char.mod("%016x", h[sel]).tolist())
+    return pa.table(
+        {
+            id_col: pa.array(out_id, batch[id_col].type),
+            "pos": pa.array(out_pos, pa.int64()),
+            "fp": pa.array(out_fp, pa.string()),
+        }
+    )

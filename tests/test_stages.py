@@ -1481,3 +1481,67 @@ def test_quality_model_matches_local_dot_product():
     exp1 = wt(b"alpha") * 2 + wt(b"beta") + wt(b"gamma")
     assert out["score"].tolist() == [exp1, 0, wt(b"zeta")]
     assert out["keep"].tolist() == [exp1 > 0, False, wt(b"zeta") > 0]
+
+
+def test_winnow_fingerprints_hand_checked():
+    import hashlib
+
+    # 8 words, k=2 grams -> 7 hashes, w=3 windows
+    words = ["a", "b", "c", "d", "e", "f", "g", "h"]
+    t = pa.table({"doc_id": [1, 2], "text": [" ".join(words), "x y"]})
+    out = dedup.winnow_fingerprints(t, k=2, w=3).to_pandas()
+
+    def h(g):
+        return int.from_bytes(hashlib.md5(g.encode()).digest()[:8], "big")
+
+    grams = [" ".join(words[i : i + 2]) for i in range(7)]
+    hs = [h(g) for g in grams]
+    expect = set()
+    for s in range(5):  # windows of 3
+        win = hs[s : s + 3]
+        m = min(win)
+        pos = s + max(i for i, v in enumerate(win) if v == m)  # rightmost
+        expect.add(pos)
+    got = set(out[out["doc_id"] == 1]["pos"])
+    assert got == expect
+    for _, r in out[out["doc_id"] == 1].iterrows():
+        assert r["fp"] == f"{hs[r['pos']]:016x}"
+    # short doc (< k words... 2 words == k): one gram, pos 0
+    short = out[out["doc_id"] == 2]
+    assert short["pos"].tolist() == [0]
+    assert short["fp"].iloc[0] == f"{h('x y'):016x}"
+    # guarantee: two docs sharing a >= w+k-1 word run share a fingerprint
+    t2 = pa.table(
+        {
+            "doc_id": [1, 2],
+            "text": [
+                "p q r s one two three four five u v",
+                "z z z one two three four five y",
+            ],
+        }
+    )
+    o2 = dedup.winnow_fingerprints(t2, k=2, w=3).to_pandas()
+    f1 = set(o2[o2["doc_id"] == 1]["fp"])
+    f2 = set(o2[o2["doc_id"] == 2]["fp"])
+    assert f1 & f2
+
+
+def test_span_novelty_counts():
+    para = "one two three four five six seven eight"
+    docs = ray.data.from_items(
+        [
+            {"doc_id": 1, "text": para + " tail"},        # 9 toks, 2 grams
+            {"doc_id": 2, "text": para},                  # 8 toks, 1 gram (dup)
+            {"doc_id": 3, "text": "short"},               # no grams -> no row
+        ]
+    )
+    out = (
+        dedup.span_novelty(docs, n=8)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out["doc_id"].tolist() == [1, 2]
+    assert out[out["doc_id"] == 1]["n_novel"].iloc[0] == 2  # both first
+    assert out[out["doc_id"] == 2]["n_novel"].iloc[0] == 0  # seen in doc 1
+    assert out["n_grams"].tolist() == [2, 1]
