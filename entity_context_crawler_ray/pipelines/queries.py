@@ -4466,6 +4466,38 @@ FROM sel WHERE rn = 1
 """
 
 
+def q_heavy_hitters(sf_dir: str):
+    """Exact φ-heavy hitters (φ = 1/5) over a skewed derived stream
+    (digit-length of l_partkey — the base columns are uniform by
+    construction, so the stream is derived to exercise real skew):
+    two streaming passes, candidates then exact recount
+    (stats.heavy_hitters_exact) — (v, cnt) with cnt·5 > N."""
+    li = _read(sf_dir, "lineitem", ["l_partkey"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "v": pc.cast(
+                    pc.utf8_length(pc.cast(t["l_partkey"], pa.string())),
+                    pa.int64(),
+                )
+            }
+        )
+
+    return stats.heavy_hitters_exact(
+        li.map_batches(derive, batch_format="pyarrow"), "v", k=4
+    )
+
+
+SQL_HEAVY_HITTERS = """
+SELECT CAST(length(CAST(l_partkey AS VARCHAR)) AS BIGINT) AS v,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM lineitem
+GROUP BY v
+HAVING count(*) * 5 > (SELECT count(*) FROM lineitem)
+"""
+
+
 def q_quality_model(sf_dir: str):
     """Model-based quality classifier inference (the fastText/linear
     shape): hashed bag-of-words -> integer dot product against weights
@@ -4536,6 +4568,7 @@ def queries() -> Dict[str, Callable]:
         "q_span_dedup_clean": q_span_dedup_clean,
         "q_novelty": q_novelty,
         "q_winnow": q_winnow,
+        "q_heavy_hitters": q_heavy_hitters,
         "q_fingerprint": q_fingerprint,
         "q_jaccard_vs_doc0": q_jaccard_vs_doc0,
         # embeddings (oracle-checked)
@@ -4662,6 +4695,7 @@ def _build_oracle_sql() -> Dict[str, str]:
         "q_span_dedup_clean": SQL_SPAN_DEDUP_CLEAN,
         "q_novelty": SQL_NOVELTY,
         "q_winnow": SQL_WINNOW,
+        "q_heavy_hitters": SQL_HEAVY_HITTERS,
         "q_fingerprint": SQL_FINGERPRINT,
         "q_jaccard_vs_doc0": SQL_JACCARD_VS_DOC0,
         "q_knn_cosine": SQL_KNN_COSINE,

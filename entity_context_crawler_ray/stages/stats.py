@@ -822,3 +822,87 @@ def hll_registers_by(
         .groupby([group_col, "bucket"])
         .aggregate(Max("pmax", alias_name="register"))
     )
+
+
+def heavy_hitters_exact(
+    ds: ray.data.Dataset,
+    col: str,
+    k: int = 8,
+    max_candidates: int = 1_000_000,
+) -> ray.data.Dataset:
+    """EXACT φ-heavy hitters (φ = 1/(k+1)): every value with global
+    frequency > N/(k+1), with its exact count — the two-pass
+    candidate/recount shape that makes heavy hitters exact at stream
+    scale (Misra–Gries family):
+
+    1. CANDIDATES — per batch, keep the values with batch frequency
+       > n_batch/(k+1) (at most k per batch, computed with one
+       np.unique; this is the fixpoint a Misra–Gries sketch of size k
+       converges to on the batch).  Superset guarantee by averaging:
+       if a value's global freq > N/(k+1) but NO batch had local freq
+       > n_b/(k+1), then freq = Σ freq_b ≤ Σ n_b/(k+1) = N/(k+1) —
+       contradiction.  One distinct-key exchange bounds the candidate
+       table at ≤ k × num_batches rows; counted BEFORE collecting
+       (``max_candidates`` guard), then broadcast via ray.put.
+    2. RECOUNT — exact map-side partial counts of candidate values
+       only + one candidate-keyed exchange; emit (value, cnt) where
+       cnt·(k+1) > N.  N comes from Dataset.count() (metadata-cheap).
+
+    Deterministic on any partitioning (the candidate PASS depends on
+    batch layout, but the final exact filter does not — a candidate
+    that isn't heavy is dropped by the recount), so the SQL twin is a
+    plain GROUP BY ... HAVING."""
+    from ray.data.aggregate import Sum
+
+    def cand(batch: pa.Table) -> pa.Table:
+        v = batch[col].to_numpy(zero_copy_only=False)
+        if len(v) == 0:
+            return pa.table({"v": pa.array([], pa.int64())})
+        vals, cnts = np.unique(v, return_counts=True)
+        keep = vals[cnts * (k + 1) > len(v)]
+        return pa.table({"v": pa.array(keep, pa.int64())})
+
+    cands = ds.map_batches(cand, batch_format="pyarrow").groupby("v").count()
+    n_cand = cands.count()
+    if n_cand > max_candidates:
+        raise ValueError(
+            f"{n_cand} heavy-hitter candidates > max_candidates "
+            f"{max_candidates}: raise k's selectivity or the guard"
+        )
+    cand_set = set(r["v"] for r in cands.take_all())
+    ref = ray.put(cand_set)
+    total = ds.count()
+
+    def recount(batch: pa.Table) -> pa.Table:
+        cs = ray.get(ref)
+        v = batch[col].to_numpy(zero_copy_only=False)
+        if len(v) == 0:
+            return pa.table(
+                {"v": pa.array([], pa.int64()),
+                 "cnt": pa.array([], pa.int64())}
+            )
+        vals, cnts = np.unique(v, return_counts=True)
+        mask = np.array([x in cs for x in vals.tolist()], dtype=bool)
+        return pa.table(
+            {
+                "v": pa.array(vals[mask], pa.int64()),
+                "cnt": pa.array(cnts[mask], pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(recount, batch_format="pyarrow")
+        .groupby("v")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )
+
+    def final(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        keep = pc.greater(
+            pc.multiply(pc.cast(t["cnt"], pa.int64()), pa.scalar(k + 1)),
+            pa.scalar(total),
+        )
+        return t.filter(keep)
+
+    return agg.map_batches(final, batch_format="pyarrow")

@@ -1545,3 +1545,29 @@ def test_span_novelty_counts():
     assert out[out["doc_id"] == 1]["n_novel"].iloc[0] == 2  # both first
     assert out[out["doc_id"] == 2]["n_novel"].iloc[0] == 0  # seen in doc 1
     assert out["n_grams"].tolist() == [2, 1]
+
+
+def test_heavy_hitters_exact_guarantee_and_counts():
+    from entity_context_crawler_ray.stages import stats
+
+    # 61 a's, 26 b's, 13 singletons (N=100): with k=3 (phi=1/4, strict
+    # >25) exactly 'a' and 'b' qualify; the candidate pass must
+    # survive values spread thinly across partitions
+    vals = [1] * 61 + [2] * 26 + list(range(100, 113))
+    ds = ray.data.from_items([{"v": v} for v in vals]).repartition(8)
+    out = (
+        stats.heavy_hitters_exact(ds, "v", k=3)
+        .to_pandas()
+        .sort_values("v")
+        .reset_index(drop=True)
+    )
+    assert out.to_dict("records") == [
+        {"v": 1, "cnt": 61}, {"v": 2, "cnt": 26}
+    ]
+    # boundary: exactly N/(k+1) does NOT qualify (strict inequality)
+    vals2 = [1] * 25 + list(range(200, 275))  # 25*4 == 100
+    ds2 = ray.data.from_items([{"v": v} for v in vals2])
+    assert len(stats.heavy_hitters_exact(ds2, "v", k=3).to_pandas()) == 0
+    # no value above threshold -> empty result, not an error
+    flat = ray.data.from_items([{"v": i} for i in range(50)])
+    assert len(stats.heavy_hitters_exact(flat, "v", k=3).to_pandas()) == 0
