@@ -211,6 +211,7 @@ def run_bench() -> dict:
             "q_knn_cosine",
             "q_sessions",
             "q_semantic_dedup",
+            "q_span_dedup",
         ):
             fn = Q.queries()[name]
             walls = []

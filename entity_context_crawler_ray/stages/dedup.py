@@ -271,6 +271,19 @@ def _hash_shuffle(ds: ray.data.Dataset):
         ctx.shuffle_strategy = prev
 
 
+def _reset_shuffle(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """A dataset MATERIALIZED inside a ``_hash_shuffle`` scope captures
+    the flipped strategy in its own context copy, so a downstream
+    groupby/sort would silently run on the hash-shuffle aggregator
+    pool (measured on the 32-CPU box: a 235k-row groupby went 1.6 s ->
+    12.4 s with a 164-worker pool explosion).  Restore the ambient
+    strategy on the materialized dataset before handing it on."""
+    from ray.data.context import DataContext
+
+    ds.context.shuffle_strategy = DataContext.get_current().shuffle_strategy
+    return ds
+
+
 def _default_partitions(divisor: int, floor: int) -> int:
     """Hash-exchange partition count ∝ cluster CPUs.  Each partition
     costs an aggregator actor, so small clusters want few (measured on
@@ -1128,14 +1141,51 @@ def span_dup_offsets(
         documents, n=n, id_col=id_col, text_col=text_col, hash_bits=hash_bits
     )
     key_cols = ["key_hi", "key_lo"] if hash_bits == 128 else ["key_hi"]
+    # hash-partition by gram key + ONE vectorized lexsort per
+    # partition — NOT groupby().map_groups(), whose per-group Python
+    # kernel call costs ~45 s on 270k tiny gram groups at sf0.1 where
+    # this shape takes ~2 s
+    num_partitions = _default_partitions(8, 2)
 
-    def dups(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return g.iloc[0:0][[id_col, "off"]]
-        g = g.sort_values([id_col, "off"], kind="mergesort")
-        return g.iloc[1:][[id_col, "off"]]
+    def dups_part(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "off": pa.array([], pa.int64()),
+                }
+            )
+        kh = t["key_hi"].to_numpy()
+        doc = t[id_col].to_numpy()
+        off = t["off"].to_numpy()
+        if hash_bits == 128:
+            kl = t["key_lo"].to_numpy()
+            order = np.lexsort((off, doc, kl, kh))
+            kh, kl, doc, off = kh[order], kl[order], doc[order], off[order]
+            first = np.empty(len(kh), dtype=bool)
+            first[0] = True
+            first[1:] = (kh[1:] != kh[:-1]) | (kl[1:] != kl[:-1])
+        else:
+            order = np.lexsort((off, doc, kh))
+            kh, doc, off = kh[order], doc[order], off[order]
+            first = np.empty(len(kh), dtype=bool)
+            first[0] = True
+            first[1:] = kh[1:] != kh[:-1]
+        keep = ~first
+        return pa.table(
+            {
+                id_col: pa.array(doc[keep], pa.int64()),
+                "off": pa.array(off[keep], pa.int64()),
+            }
+        )
 
-    return occ.groupby(key_cols).map_groups(dups, batch_format="pandas")
+    with _hash_shuffle(occ):
+        out = (
+            occ.repartition(num_partitions, keys=key_cols)
+            .map_batches(dups_part, batch_size=None, batch_format="pyarrow")
+            .materialize()
+        )
+    return _reset_shuffle(out)
 
 
 def _merge_offsets(offs: np.ndarray, n: int) -> tuple:
@@ -1165,18 +1215,46 @@ def span_dedup_spans(
         documents, n=n, id_col=id_col, text_col=text_col, hash_bits=hash_bits
     )
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        offs = np.unique(g["off"].to_numpy())
-        starts, ends = _merge_offsets(offs, n)
-        return pd.DataFrame(
+    def merge_part(t: pa.Table) -> pa.Table:
+        empty = pa.table(
             {
-                id_col: np.full(len(starts), g[id_col].iloc[0], np.int64),
-                "tok_start": starts,
-                "tok_end": ends,
+                id_col: pa.array([], pa.int64()),
+                "tok_start": pa.array([], pa.int64()),
+                "tok_end": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        doc = t[id_col].to_numpy()
+        off = t["off"].to_numpy()
+        order = np.lexsort((off, doc))
+        doc, off = doc[order], off[order]
+        uniq = np.empty(len(doc), dtype=bool)
+        uniq[0] = True
+        uniq[1:] = (doc[1:] != doc[:-1]) | (off[1:] != off[:-1])
+        doc, off = doc[uniq], off[uniq]
+        # islands: a new span starts at a doc change or a gap > n
+        brk = np.empty(len(doc), dtype=bool)
+        brk[0] = True
+        brk[1:] = (doc[1:] != doc[:-1]) | (off[1:] - off[:-1] > n)
+        starts_idx = np.flatnonzero(brk)
+        ends_idx = np.append(starts_idx[1:], len(doc)) - 1
+        return pa.table(
+            {
+                id_col: pa.array(doc[starts_idx], pa.int64()),
+                "tok_start": pa.array(off[starts_idx], pa.int64()),
+                "tok_end": pa.array(off[ends_idx] + n, pa.int64()),
             }
         )
 
-    return dups.groupby(id_col).map_groups(merge, batch_format="pandas")
+    num_partitions = _default_partitions(8, 2)
+    with _hash_shuffle(dups):
+        out = (
+            dups.repartition(num_partitions, keys=[id_col])
+            .map_batches(merge_part, batch_size=None, batch_format="pyarrow")
+            .materialize()
+        )
+    return _reset_shuffle(out)
 
 
 def span_dedup_clean(
@@ -1225,26 +1303,56 @@ def span_dedup_clean(
         tag_docs, batch_format="pyarrow"
     ).union(dups.map_batches(tag_dups, batch_format="pyarrow"))
 
-    def clean(g: pd.DataFrame) -> pd.DataFrame:
-        doc_rows = g[g["off"] < 0]
-        txt = doc_rows[text_col].iloc[0]
-        toks = _WORD_RE.findall(txt.lower())
-        offs = np.unique(g.loc[g["off"] >= 0, "off"].to_numpy())
-        keep = np.ones(len(toks), dtype=bool)
-        if offs.size:
-            starts, ends = _merge_offsets(offs, n)
-            for s, e in zip(starts, ends):
-                keep[s:e] = False
-        return pd.DataFrame(
+    def clean_part(t: pa.Table) -> pa.Table:
+        empty = pa.table(
             {
-                id_col: [int(g[id_col].iloc[0])],
-                "clean_text": [" ".join(np.asarray(toks)[keep])] if toks
-                else [""],
-                "n_removed_tokens": [int((~keep).sum())],
+                id_col: pa.array([], pa.int64()),
+                "clean_text": pa.array([], pa.string()),
+                "n_removed_tokens": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        doc = t[id_col].to_numpy()
+        off = t["off"].to_numpy()
+        texts = t[text_col].to_pylist()
+        order = np.lexsort((off, doc))   # off=-1 text row leads its doc
+        doc, off = doc[order], off[order]
+        brk = np.empty(len(doc), dtype=bool)
+        brk[0] = True
+        brk[1:] = doc[1:] != doc[:-1]
+        run_starts = np.flatnonzero(brk)
+        run_ends = np.append(run_starts[1:], len(doc))
+        out_id, out_text, out_rm = [], [], []
+        for s, e in zip(run_starts, run_ends):
+            txt = texts[order[s]]        # the off=-1 row, exactly one
+            toks = _WORD_RE.findall(txt.lower())
+            offs = off[s:e]
+            offs = offs[offs >= 0]
+            keep = np.ones(len(toks), dtype=bool)
+            if offs.size:
+                st, en = _merge_offsets(np.unique(offs), n)
+                for a_, b_ in zip(st, en):
+                    keep[a_:b_] = False
+            out_id.append(int(doc[s]))
+            out_text.append(" ".join(np.asarray(toks)[keep]) if toks else "")
+            out_rm.append(int((~keep).sum()))
+        return pa.table(
+            {
+                id_col: pa.array(out_id, pa.int64()),
+                "clean_text": pa.array(out_text, pa.string()),
+                "n_removed_tokens": pa.array(out_rm, pa.int64()),
             }
         )
 
-    return tagged.groupby(id_col).map_groups(clean, batch_format="pandas")
+    num_partitions = _default_partitions(8, 2)
+    with _hash_shuffle(tagged):
+        out = (
+            tagged.repartition(num_partitions, keys=[id_col])
+            .map_batches(clean_part, batch_size=None, batch_format="pyarrow")
+            .materialize()
+        )
+    return _reset_shuffle(out)
 
 
 def span_novelty(
@@ -1267,14 +1375,45 @@ def span_novelty(
     )
     key_cols = ["key_hi", "key_lo"] if hash_bits == 128 else ["key_hi"]
 
-    def mark(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values([id_col, "off"], kind="mergesort")
-        novel = np.zeros(len(g), dtype=np.int64)
-        novel[0] = 1
-        return pd.DataFrame({id_col: g[id_col].to_numpy(), "novel": novel})
+    def mark_part(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "novel": pa.array([], pa.int64()),
+                }
+            )
+        kh = t["key_hi"].to_numpy()
+        doc = t[id_col].to_numpy()
+        off = t["off"].to_numpy()
+        if hash_bits == 128:
+            kl = t["key_lo"].to_numpy()
+            order = np.lexsort((off, doc, kl, kh))
+            kh, kl, doc = kh[order], kl[order], doc[order]
+            first = np.empty(len(kh), dtype=bool)
+            first[0] = True
+            first[1:] = (kh[1:] != kh[:-1]) | (kl[1:] != kl[:-1])
+        else:
+            order = np.lexsort((off, doc, kh))
+            kh, doc = kh[order], doc[order]
+            first = np.empty(len(kh), dtype=bool)
+            first[0] = True
+            first[1:] = kh[1:] != kh[:-1]
+        return pa.table(
+            {
+                id_col: pa.array(doc, pa.int64()),
+                "novel": pa.array(first.astype(np.int64), pa.int64()),
+            }
+        )
 
-    marked = occ.groupby(key_cols).map_groups(mark, batch_format="pandas")
-    return marked.groupby(id_col).aggregate(
+    num_partitions = _default_partitions(8, 2)
+    with _hash_shuffle(occ):
+        marked = (
+            occ.repartition(num_partitions, keys=key_cols)
+            .map_batches(mark_part, batch_size=None, batch_format="pyarrow")
+            .materialize()
+        )
+    return _reset_shuffle(marked).groupby(id_col).aggregate(
         Count(alias_name="n_grams"), Sum("novel", alias_name="n_novel")
     )
 
