@@ -846,7 +846,9 @@ def heavy_hitters_exact(
        (``max_candidates`` guard), then broadcast via ray.put.
     2. RECOUNT — exact map-side partial counts of candidate values
        only + one candidate-keyed exchange; emit (value, cnt) where
-       cnt·(k+1) > N.  N comes from Dataset.count() (metadata-cheap).
+       cnt·(k+1) > N.  N comes from Dataset.count() — a third
+       streaming scan of the (possibly derived) input; the standard
+       price of the two-pass family, each pass shuffle-free.
 
     Deterministic on any partitioning (the candidate PASS depends on
     batch layout, but the final exact filter does not — a candidate
@@ -862,7 +864,14 @@ def heavy_hitters_exact(
         keep = vals[cnts * (k + 1) > len(v)]
         return pa.table({"v": pa.array(keep, pa.int64())})
 
-    cands = ds.map_batches(cand, batch_format="pyarrow").groupby("v").count()
+    # materialize: candidate table is ≤ k × num_batches rows, and the
+    # count() + take_all() below must not re-execute the source scan
+    cands = (
+        ds.map_batches(cand, batch_format="pyarrow")
+        .groupby("v")
+        .count()
+        .materialize()
+    )
     n_cand = cands.count()
     if n_cand > max_candidates:
         raise ValueError(

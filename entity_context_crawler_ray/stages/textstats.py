@@ -95,6 +95,11 @@ def fingerprint(batch: pa.Table, text_col: str = "text", shingle: int = 5) -> pa
     from ..functions.hashing import md5_u128
 
     texts = batch[text_col].to_pylist()
+    if not texts:
+        out = batch.drop_columns([text_col])
+        return out.append_column(
+            "fingerprint", pa.array([], pa.string())
+        )
     gram_parts: List[str] = []
     starts = np.empty(len(texts), dtype=np.int64)
     for i, t in enumerate(texts):

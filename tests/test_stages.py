@@ -1571,3 +1571,24 @@ def test_heavy_hitters_exact_guarantee_and_counts():
     # no value above threshold -> empty result, not an error
     flat = ray.data.from_items([{"v": i} for i in range(50)])
     assert len(stats.heavy_hitters_exact(flat, "v", k=3).to_pandas()) == 0
+
+
+def test_vectorized_kernels_empty_and_degenerate_batches():
+    empty = pa.table(
+        {"doc_id": pa.array([], pa.int64()), "text": pa.array([], pa.string())}
+    )
+    assert textstats.fingerprint(empty).num_rows == 0
+    assert textstats.simhash64(empty).num_rows == 0
+    assert textstats.QualityModel(dim=64)(empty).num_rows == 0
+    assert dedup.winnow_fingerprints(empty).num_rows == 0
+    assert dedup.minhash_bands_md5(empty).num_rows == 0
+    # empty TEXT rows (not empty batches)
+    one = pa.table(
+        {"doc_id": pa.array([1], pa.int64()), "text": pa.array([""], pa.string())}
+    )
+    # md5('') — the value DuckDB computes for the empty gram
+    assert textstats.fingerprint(one)["fingerprint"][0].as_py().startswith(
+        "d41d8cd98f00b204"
+    )
+    assert textstats.simhash64(one)["simhash"][0].as_py() == -(1 << 63)
+    assert textstats.QualityModel(dim=64)(one)["score"][0].as_py() == 0
