@@ -4498,6 +4498,109 @@ HAVING count(*) * 5 > (SELECT count(*) FROM lineitem)
 """
 
 
+def q_incremental_dedup(sf_dir: str):
+    """Incremental-ingestion dedup: the corpus is split into an
+    EXISTING store (doc_id <= max/2) and a NEW shipment; one pass over
+    the existing docs builds a content Bloom filter (m=65536, k=3, md5
+    positions over the raw text), the shipment probes it map-side —
+    no join against and no rescan of the old corpus.  Output per new
+    doc: (doc_id, bloom_hit, true_dup); bloom_hit >= true_dup row-wise
+    (never a false negative), and the oracle recomputes the identical
+    bits so the false-positive pattern itself is hash-verified.  At
+    scale the filter is an 8 KiB broadcast standing in for the whole
+    store; hits would be re-checked by an exact join on the (tiny)
+    hit subset — ``true_dup`` here IS that exact check."""
+    from ray.data.aggregate import Max
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    split = int(docs.aggregate(Max("doc_id"))["max(doc_id)"]) // 2
+    old = docs.filter(expr=f"doc_id <= {split}")
+    new = docs.filter(expr=f"doc_id > {split}")
+
+    m_bits, k_hashes = 65536, 3
+    bits = np.zeros(m_bits, dtype=bool)
+    for r in stats.bloom_bits(
+        old, "text", m_bits=m_bits, k_hashes=k_hashes
+    ).take_all():
+        bits[int(r["bit"])] = True
+
+    # exact membership = LEFT bucketed join of new (h, doc_id) against
+    # the old store's DISTINCT content hashes — md5 of the text moves
+    # through the exchange, never the text
+    def content_key(t: pa.Table) -> pa.Table:
+        from entity_context_crawler_ray.functions.hashing import md5_u64
+
+        texts = t["text"].to_pylist()
+        h = (
+            md5_u64(np.asarray(texts, dtype="S")).view(np.int64)
+            if texts
+            else np.array([], dtype=np.int64)
+        )
+        out = t.drop_columns(["text"])
+        return out.append_column("h", pa.array(h, pa.int64()))
+
+    probed = stats.bloom_probe_flags(
+        new, "text", bits, k_hashes=k_hashes, out_col="bloom_hit"
+    ).map_batches(content_key, batch_format="pyarrow")
+
+    def old_keys(t: pa.Table) -> pa.Table:
+        kt = content_key(t).select(["h"])
+        return kt.append_column(
+            "dup_flag", pa.array(np.ones(kt.num_rows, np.int64), pa.int64())
+        )
+
+    old_h = (
+        old.map_batches(old_keys, batch_format="pyarrow")
+        .groupby("h")
+        .aggregate(Max("dup_flag", alias_name="dup_flag"))
+    )
+    joined = relational.hash_join_bucketed(probed, old_h, on="h", how="left")
+
+    def finish(t: pa.Table) -> pa.Table:
+        dup = pc.fill_null(pc.cast(t["dup_flag"], pa.int64()), 0)
+        return pa.table(
+            {
+                "doc_id": pc.cast(t["doc_id"], pa.int64()),
+                "bloom_hit": pc.cast(t["bloom_hit"], pa.int64()),
+                "true_dup": dup,
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_INCREMENTAL_DEDUP = """
+WITH sp AS (SELECT max(doc_id) // 2 AS s FROM documents),
+old AS (SELECT doc_id, text FROM documents, sp WHERE doc_id <= s),
+new AS (SELECT doc_id, text FROM documents, sp WHERE doc_id > s),
+d AS (SELECT unnest(range(3)) AS d),
+bits AS (
+  SELECT DISTINCT
+    CAST(CAST(('0x' || substr(md5('bloom' || CAST(d.d AS VARCHAR)
+                              || text), 1, 16)) AS UBIGINT)
+         % 65536 AS BIGINT) AS bit
+  FROM old, d
+),
+probe AS (
+  SELECT doc_id, d.d,
+         CAST(CAST(('0x' || substr(md5('bloom' || CAST(d.d AS VARCHAR)
+                    || text), 1, 16)) AS UBIGINT)
+              % 65536 AS BIGINT) AS bit
+  FROM new, d
+)
+SELECT CAST(p.doc_id AS BIGINT) AS doc_id,
+       CAST(CASE WHEN count(b.bit) = 3 THEN 1 ELSE 0 END AS BIGINT)
+         AS bloom_hit,
+       CAST(max(CASE WHEN o.doc_id IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+         AS true_dup
+FROM probe p
+JOIN new n ON n.doc_id = p.doc_id
+LEFT JOIN bits b ON b.bit = p.bit
+LEFT JOIN old o ON o.text = n.text
+GROUP BY p.doc_id
+"""
+
+
 def q_quality_model(sf_dir: str):
     """Model-based quality classifier inference (the fastText/linear
     shape): hashed bag-of-words -> integer dot product against weights
@@ -4569,6 +4672,7 @@ def queries() -> Dict[str, Callable]:
         "q_novelty": q_novelty,
         "q_winnow": q_winnow,
         "q_heavy_hitters": q_heavy_hitters,
+        "q_incremental_dedup": q_incremental_dedup,
         "q_fingerprint": q_fingerprint,
         "q_jaccard_vs_doc0": q_jaccard_vs_doc0,
         # embeddings (oracle-checked)
@@ -4696,6 +4800,7 @@ def _build_oracle_sql() -> Dict[str, str]:
         "q_novelty": SQL_NOVELTY,
         "q_winnow": SQL_WINNOW,
         "q_heavy_hitters": SQL_HEAVY_HITTERS,
+        "q_incremental_dedup": SQL_INCREMENTAL_DEDUP,
         "q_fingerprint": SQL_FINGERPRINT,
         "q_jaccard_vs_doc0": SQL_JACCARD_VS_DOC0,
         "q_knn_cosine": SQL_KNN_COSINE,
