@@ -4601,6 +4601,94 @@ GROUP BY p.doc_id
 """
 
 
+def q_bigram_next(sf_dir: str):
+    """Bigram language-model argmax: the most likely next word per
+    word — (word, next_word, cnt).  Map-side vectorized pair
+    extraction (adjacent tokens within each doc) with per-batch
+    partial counts, ONE pair-keyed exchange to sum, then the
+    grouped_top_k combiner for the per-prefix argmax (cnt desc,
+    next_word asc) — the n-gram LM statistics shape at corpus scale
+    (pairs leave each node pre-counted, never raw)."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def pairs(t: pa.Table) -> pa.Table:
+        a_parts, b_parts = [], []
+        for txt in t["text"].to_pylist():
+            ws = textstats._SYM_RE.findall(txt.lower())
+            if len(ws) >= 2:
+                arr = np.asarray(ws)
+                a_parts.append(arr[:-1])
+                b_parts.append(arr[1:])
+        if not a_parts:
+            return pa.table(
+                {
+                    "word": pa.array([], pa.string()),
+                    "next_word": pa.array([], pa.string()),
+                    "pc": pa.array([], pa.int64()),
+                }
+            )
+        tt = pa.table(
+            {
+                "word": pa.array(np.concatenate(a_parts)),
+                "next_word": pa.array(np.concatenate(b_parts)),
+            }
+        )
+        agg = tt.group_by(["word", "next_word"]).aggregate(
+            [("next_word", "count")]
+        )
+        return pa.table(
+            {
+                "word": agg["word"],
+                "next_word": agg["next_word"],
+                "pc": pc.cast(agg["next_word_count"], pa.int64()),
+            }
+        )
+
+    counts = (
+        ds.map_batches(pairs, batch_format="pyarrow")
+        .groupby(["word", "next_word"])
+        .aggregate(Sum("pc", alias_name="cnt"))
+    )
+    top = relational.grouped_top_k(
+        counts, "word", ["cnt", "next_word"], k=1, descending=[True, False]
+    )
+
+    def cast_cols(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "word": t["word"],
+                "next_word": t["next_word"],
+                "cnt": pc.cast(t["cnt"], pa.int64()),
+            }
+        )
+
+    return top.map_batches(cast_cols, batch_format="pyarrow")
+
+
+SQL_BIGRAM_NEXT = """
+WITH toks AS (
+  SELECT regexp_extract_all(lower(text), '[a-z0-9_]+') AS ts
+  FROM documents
+),
+prs AS (
+  SELECT ts[i + 1] AS word, ts[i + 2] AS next_word
+  FROM (SELECT ts, unnest(range(len(ts) - 1)) AS i FROM toks)
+),
+cnts AS (
+  SELECT word, next_word, count(*) AS c FROM prs GROUP BY 1, 2
+),
+r AS (
+  SELECT word, next_word, c,
+         row_number() OVER (PARTITION BY word
+                            ORDER BY c DESC, next_word) AS rn
+  FROM cnts
+)
+SELECT word, next_word, CAST(c AS BIGINT) AS cnt FROM r WHERE rn = 1
+"""
+
+
 def q_quality_model(sf_dir: str):
     """Model-based quality classifier inference (the fastText/linear
     shape): hashed bag-of-words -> integer dot product against weights
@@ -4673,6 +4761,7 @@ def queries() -> Dict[str, Callable]:
         "q_winnow": q_winnow,
         "q_heavy_hitters": q_heavy_hitters,
         "q_incremental_dedup": q_incremental_dedup,
+        "q_bigram_next": q_bigram_next,
         "q_fingerprint": q_fingerprint,
         "q_jaccard_vs_doc0": q_jaccard_vs_doc0,
         # embeddings (oracle-checked)
@@ -4801,6 +4890,7 @@ def _build_oracle_sql() -> Dict[str, str]:
         "q_winnow": SQL_WINNOW,
         "q_heavy_hitters": SQL_HEAVY_HITTERS,
         "q_incremental_dedup": SQL_INCREMENTAL_DEDUP,
+        "q_bigram_next": SQL_BIGRAM_NEXT,
         "q_fingerprint": SQL_FINGERPRINT,
         "q_jaccard_vs_doc0": SQL_JACCARD_VS_DOC0,
         "q_knn_cosine": SQL_KNN_COSINE,
