@@ -4601,6 +4601,52 @@ GROUP BY p.doc_id
 """
 
 
+def q_grouped_p90(sf_dir: str):
+    """EXACT per-group p90 (lower rule, rank = (n-1)·9//10 — rational
+    quantile so the rank is pure integer arithmetic in both engines):
+    order totalprice p90 per order priority via the value-histogram
+    exchange (`stats.grouped_median_cents` generalized — the shuffle
+    moves (group, cents) counts, never rows)."""
+    orders = _read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+    out = stats.grouped_median_cents(
+        orders,
+        "o_orderpriority",
+        "o_totalprice",
+        q_num=9,
+        q_den=10,
+        out_col="p90_cents",
+    )
+
+    def cast_cols(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderpriority": t["o_orderpriority"],
+                "p90_cents": pc.cast(t["p90_cents"], pa.int64()),
+                "n": pc.cast(t["n"], pa.int64()),
+            }
+        )
+
+    return out.map_batches(cast_cols, batch_format="pyarrow")
+
+
+SQL_GROUPED_P90 = """
+WITH r AS (
+  SELECT o_orderpriority,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         row_number() OVER (
+           PARTITION BY o_orderpriority
+           ORDER BY CAST(round(o_totalprice * 100) AS BIGINT)) AS rn,
+         count(*) OVER (PARTITION BY o_orderpriority) AS n
+  FROM orders
+)
+SELECT o_orderpriority,
+       CAST(cents AS BIGINT) AS p90_cents,
+       CAST(n AS BIGINT) AS n
+FROM r
+WHERE rn = (n - 1) * 9 // 10 + 1
+"""
+
+
 def q_bigram_next(sf_dir: str):
     """Bigram language-model argmax: the most likely next word per
     word — (word, next_word, cnt).  Map-side vectorized pair
@@ -4762,6 +4808,7 @@ def queries() -> Dict[str, Callable]:
         "q_heavy_hitters": q_heavy_hitters,
         "q_incremental_dedup": q_incremental_dedup,
         "q_bigram_next": q_bigram_next,
+        "q_grouped_p90": q_grouped_p90,
         "q_fingerprint": q_fingerprint,
         "q_jaccard_vs_doc0": q_jaccard_vs_doc0,
         # embeddings (oracle-checked)
@@ -4891,6 +4938,7 @@ def _build_oracle_sql() -> Dict[str, str]:
         "q_heavy_hitters": SQL_HEAVY_HITTERS,
         "q_incremental_dedup": SQL_INCREMENTAL_DEDUP,
         "q_bigram_next": SQL_BIGRAM_NEXT,
+        "q_grouped_p90": SQL_GROUPED_P90,
         "q_fingerprint": SQL_FINGERPRINT,
         "q_jaccard_vs_doc0": SQL_JACCARD_VS_DOC0,
         "q_knn_cosine": SQL_KNN_COSINE,

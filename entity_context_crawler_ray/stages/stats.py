@@ -345,13 +345,19 @@ def grouped_median_cents(
     group_col: str,
     value_col: str,
     cents_in: bool = False,
+    q_num: int = 1,
+    q_den: int = 2,
+    out_col: str = "median_cents",
 ) -> ray.data.Dataset:
-    """EXACT per-group median (lower rule: ``sorted[(n-1)//2]``, the
-    same rule as ``quantiles_exact``) of a cents-representable value
-    column, computed over a VALUE HISTOGRAM: a map-side partial count
-    per (group, cents) in each batch, ONE (group, cents)-keyed
+    """EXACT per-group quantile (lower rule:
+    ``sorted[(n-1)*q_num // q_den]`` — the default 1/2 is the median,
+    the same rule as ``quantiles_exact``) of a cents-representable
+    value column, computed over a VALUE HISTOGRAM: a map-side partial
+    count per (group, cents) in each batch, ONE (group, cents)-keyed
     exchange of those counts, then a per-group walk of the compacted
-    histogram (cumulative counts vs the target rank).
+    histogram (cumulative counts vs the target rank).  The quantile is
+    a RATIONAL (q_num/q_den) so the rank is pure integer arithmetic in
+    both engines — no float rounding divergence.
 
     Scale shape: the shuffle moves distinct (group, cents) pairs —
     bounded by group × value cardinality, not corpus size — and no
@@ -392,13 +398,13 @@ def grouped_median_cents(
     def median(g: pd.DataFrame) -> pd.DataFrame:
         gg = g.sort_values("cents")
         n = int(gg["n"].sum())
-        k = (n - 1) // 2  # 0-based lower-rule rank
+        k = (n - 1) * q_num // q_den  # 0-based lower-rule rank
         cum = gg["n"].cumsum().to_numpy()
         idx = int(np.searchsorted(cum, k + 1))
         return pd.DataFrame(
             {
                 group_col: [gg[group_col].iloc[0]],
-                "median_cents": [int(gg["cents"].iloc[idx])],
+                out_col: [int(gg["cents"].iloc[idx])],
                 "n": [n],
             }
         )
