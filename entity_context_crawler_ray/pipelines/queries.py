@@ -4647,6 +4647,65 @@ WHERE rn = (n - 1) * 9 // 10 + 1
 """
 
 
+def q_weighted_sample_grouped(sf_dir: str):
+    """PER-GROUP weighted sampling without replacement: each event
+    type's 5 events with the highest Efraimidis–Spirakis md5-maxw
+    priority (selection probability ∝ value, integer weight via the
+    cents trick) — the per-class balanced-but-weighted subsampling
+    shape.  Exchange = ≤5 rows per (type, batch) through the
+    grouped_top_k combiner."""
+    ev = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def wt(t: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.round(pc.multiply(pc.cast(t["value"], pa.float64()),
+                                 pa.scalar(100.0))),
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "event_id": pc.cast(t["event_id"], pa.int64()),
+                "wt": pc.add(pc.divide(cents, pa.scalar(1000)), pa.scalar(1)),
+            }
+        )
+
+    return stats.weighted_sample_grouped(
+        ev.map_batches(wt, batch_format="pyarrow"),
+        "event_type",
+        ["event_id"],
+        "wt",
+        k=5,
+        mode="md5_maxw",
+        salt="wsg",
+    )
+
+
+SQL_WEIGHTED_SAMPLE_GROUPED = """
+WITH w AS (
+  SELECT event_type, CAST(event_id AS BIGINT) AS event_id,
+         GREATEST(CAST(round(value * 100) AS BIGINT) // 1000 + 1, 1) AS wt
+  FROM events
+),
+h AS (
+  SELECT event_type, event_id,
+         max(CAST(('0x' || substr(md5('wsg'
+               || CAST(event_id AS VARCHAR) || '-'
+               || CAST(i.i AS VARCHAR)), 1, 16)) AS UBIGINT)) AS pri
+  FROM w, (SELECT unnest(range(64)) AS i) i
+  WHERE i.i < w.wt
+  GROUP BY 1, 2
+),
+r AS (
+  SELECT event_type, event_id,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY pri DESC, event_id) AS rn
+  FROM h
+)
+SELECT event_type, event_id FROM r WHERE rn <= 5
+"""
+
+
 def q_bigram_next(sf_dir: str):
     """Bigram language-model argmax: the most likely next word per
     word — (word, next_word, cnt).  Map-side vectorized pair
@@ -4809,6 +4868,7 @@ def queries() -> Dict[str, Callable]:
         "q_incremental_dedup": q_incremental_dedup,
         "q_bigram_next": q_bigram_next,
         "q_grouped_p90": q_grouped_p90,
+        "q_weighted_sample_grouped": q_weighted_sample_grouped,
         "q_fingerprint": q_fingerprint,
         "q_jaccard_vs_doc0": q_jaccard_vs_doc0,
         # embeddings (oracle-checked)
@@ -4939,6 +4999,7 @@ def _build_oracle_sql() -> Dict[str, str]:
         "q_incremental_dedup": SQL_INCREMENTAL_DEDUP,
         "q_bigram_next": SQL_BIGRAM_NEXT,
         "q_grouped_p90": SQL_GROUPED_P90,
+        "q_weighted_sample_grouped": SQL_WEIGHTED_SAMPLE_GROUPED,
         "q_fingerprint": SQL_FINGERPRINT,
         "q_jaccard_vs_doc0": SQL_JACCARD_VS_DOC0,
         "q_knn_cosine": SQL_KNN_COSINE,

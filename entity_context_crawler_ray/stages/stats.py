@@ -236,47 +236,24 @@ def _key_strings(t: pa.Table, key_cols: Sequence[str], salt: str) -> np.ndarray:
     return np.char.add(salt, pref)
 
 
-def weighted_sample(
-    ds: ray.data.Dataset,
+def _es_priority_partial(
     key_cols: Sequence[str],
     weight_col: str,
-    k: int = 20,
-    mode: str = "fixedpoint",
-    salt: str = "wsamp",
-    max_weight: int = 4096,
-) -> ray.data.Dataset:
-    """EXACT deterministic weighted sampling without replacement
-    (Efraimidis–Spirakis): top-``k`` items by a priority key whose
-    rank distribution equals selection probability ∝ weight.  Two
-    kernels, both fully vectorized (no per-row Python hash loop —
-    ``md5_u64`` is the numpy single-block MD5):
-
-    - ``mode="md5_maxw"`` — the oracle twin: an item of integer
-      weight w gets priority max(md5_u64(salt‖key‖'-'‖i) for i < w),
-      distributed as u^(1/w) but in pure integer md5 arithmetic so
-      DuckDB ranks identically (SQL_WEIGHTED_SAMPLE).  Cost: Σw
-      hashes, vectorized via repeat/reduceat; weights are bounded by
-      ``max_weight`` (raise, not truncate — the twin's validity
-      domain is explicit).
-    - ``mode="fixedpoint"`` — the production path: ONE hash per item,
-      u = (md5_u64(salt‖key)+1)/2^64, priority = ln(u)/w (float64,
-      monotone in u^(1/w)).  Cost O(N), not O(Σw); not SQL-oracled
-      (cross-libm ln() ulp risk), verified by unit test against a
-      local numpy recomputation instead.
-
-    Items are deduplicated before ranking (groupby(key).max(pri)): a
-    key's priority is the max over its duplicate rows, matching the
-    SQL GROUP BY.  Per-batch partial top-k bounds the exchange; the
-    global sort runs over ≤ k × num_blocks rows."""
-    from ray.data.aggregate import Max
-
-    if mode not in ("fixedpoint", "md5_maxw"):
-        raise ValueError("mode must be 'fixedpoint' or 'md5_maxw'")
+    mode: str,
+    salt: str,
+    max_weight: int,
+    extra_cols: Sequence[str] = (),
+):
+    """Per-batch Efraimidis–Spirakis priority kernel shared by the
+    global and grouped weighted samplers: emits (extra_cols ∥
+    key_cols ∥ pri).  See :func:`weighted_sample` for the two modes'
+    semantics."""
     key_cols = list(key_cols)
+    extra_cols = list(extra_cols)
     pri_type = pa.int64() if mode == "md5_maxw" else pa.float64()
 
     def partial(t: pa.Table) -> pa.Table:
-        cols = {c: t[c] for c in key_cols}
+        cols = {c: t[c] for c in extra_cols + key_cols}
         n = t.num_rows
         if n == 0:
             cols["pri"] = pa.array([], pri_type)
@@ -316,6 +293,50 @@ def weighted_sample(
             cols["pri"] = pa.array(pri, pri_type)
         return pa.table(cols)
 
+    return partial
+
+
+def weighted_sample(
+    ds: ray.data.Dataset,
+    key_cols: Sequence[str],
+    weight_col: str,
+    k: int = 20,
+    mode: str = "fixedpoint",
+    salt: str = "wsamp",
+    max_weight: int = 4096,
+) -> ray.data.Dataset:
+    """EXACT deterministic weighted sampling without replacement
+    (Efraimidis–Spirakis): top-``k`` items by a priority key whose
+    rank distribution equals selection probability ∝ weight.  Two
+    kernels, both fully vectorized (no per-row Python hash loop —
+    ``md5_u64`` is the numpy single-block MD5):
+
+    - ``mode="md5_maxw"`` — the oracle twin: an item of integer
+      weight w gets priority max(md5_u64(salt‖key‖'-'‖i) for i < w),
+      distributed as u^(1/w) but in pure integer md5 arithmetic so
+      DuckDB ranks identically (SQL_WEIGHTED_SAMPLE).  Cost: Σw
+      hashes, vectorized via repeat/reduceat; weights are bounded by
+      ``max_weight`` (raise, not truncate — the twin's validity
+      domain is explicit).
+    - ``mode="fixedpoint"`` — the production path: ONE hash per item,
+      u = (md5_u64(salt‖key)+1)/2^64, priority = ln(u)/w (float64,
+      monotone in u^(1/w)).  Cost O(N), not O(Σw); not SQL-oracled
+      (cross-libm ln() ulp risk), verified by unit test against a
+      local numpy recomputation instead.
+
+    Items are deduplicated before ranking (groupby(key).max(pri)): a
+    key's priority is the max over its duplicate rows, matching the
+    SQL GROUP BY.  Per-batch partial top-k bounds the exchange; the
+    global sort runs over ≤ k × num_blocks rows."""
+    from ray.data.aggregate import Max
+
+    if mode not in ("fixedpoint", "md5_maxw"):
+        raise ValueError("mode must be 'fixedpoint' or 'md5_maxw'")
+    key_cols = list(key_cols)
+    partial = _es_priority_partial(
+        key_cols, weight_col, mode, salt, max_weight
+    )
+
     deduped = (
         ds.map_batches(partial, batch_format="pyarrow")
         .groupby(key_cols)
@@ -338,6 +359,47 @@ def weighted_sample(
         .limit(k)
         .select_columns(key_cols)
     )
+
+
+def weighted_sample_grouped(
+    ds: ray.data.Dataset,
+    group_col: str,
+    key_cols: Sequence[str],
+    weight_col: str,
+    k: int = 5,
+    mode: str = "md5_maxw",
+    salt: str = "wsamp",
+    max_weight: int = 4096,
+) -> ray.data.Dataset:
+    """Weighted sampling without replacement PER GROUP: each group's
+    top-``k`` items by the Efraimidis–Spirakis priority (same two
+    kernels as :func:`weighted_sample`).  Items dedup within their
+    group (groupby(group+key).max(pri)), then the per-key top-k runs
+    through the ``grouped_top_k`` map-side combiner — the exchange
+    moves ≤ k rows per (group, batch), never the raw items."""
+    from ray.data.aggregate import Max
+
+    from .relational import grouped_top_k
+
+    if mode not in ("fixedpoint", "md5_maxw"):
+        raise ValueError("mode must be 'fixedpoint' or 'md5_maxw'")
+    key_cols = list(key_cols)
+    partial = _es_priority_partial(
+        key_cols, weight_col, mode, salt, max_weight, extra_cols=(group_col,)
+    )
+    deduped = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby([group_col] + key_cols)
+        .aggregate(Max("pri", alias_name="pri"))
+    )
+    top = grouped_top_k(
+        deduped,
+        group_col,
+        ["pri"] + key_cols,
+        k=k,
+        descending=[True] + [False] * len(key_cols),
+    )
+    return top.select_columns([group_col] + key_cols)
 
 
 def grouped_median_cents(
