@@ -1592,3 +1592,34 @@ def test_vectorized_kernels_empty_and_degenerate_batches():
     )
     assert textstats.simhash64(one)["simhash"][0].as_py() == -(1 << 63)
     assert textstats.QualityModel(dim=64)(one)["score"][0].as_py() == 0
+
+
+def test_weighted_sample_grouped_per_group_topk():
+    import hashlib
+
+    from entity_context_crawler_ray.stages import stats
+
+    rows = [
+        {"g": "a" if i % 2 else "b", "k": i, "w": (i * 7) % 5 + 1}
+        for i in range(60)
+    ]
+    ds = ray.data.from_items(rows)
+    out = stats.weighted_sample_grouped(
+        ds, "g", ["k"], "w", k=3, mode="md5_maxw", salt="t"
+    ).to_pandas()
+
+    def u64(m):
+        return int.from_bytes(hashlib.md5(m.encode()).digest()[:8], "big")
+
+    for grp in ("a", "b"):
+        pri = {
+            r["k"]: max(u64(f"t{r['k']}-{i}") for i in range(r["w"]))
+            for r in rows
+            if r["g"] == grp
+        }
+        exp = sorted(pri, key=lambda k: (-pri[k], k))[:3]
+        got = sorted(
+            out[out["g"] == grp]["k"].tolist(),
+            key=lambda k: (-pri[k], k),
+        )
+        assert got == exp
