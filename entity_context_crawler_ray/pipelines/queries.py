@@ -4647,6 +4647,47 @@ WHERE rn = (n - 1) * 9 // 10 + 1
 """
 
 
+def q_events_hopping(sf_dir: str):
+    """Hopping (overlapping) windows — 1-hour windows every 15 min
+    (each event counted in 4 windows): per (type, window start-hop)
+    count + exact cents revenue.  Map-side explode of 4 fixed-width
+    rows per event + ONE keyed exchange (windows.hopping_window_agg)."""
+    ev = _read(sf_dir, "events", ["event_type", "ts", "value"])
+    out = windows.hopping_window_agg(ev, 3600, 900)
+
+    def cast_cols(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "window_id": pc.cast(t["window_id"], pa.int64()),
+                "n_events": pc.cast(t["n_events"], pa.int64()),
+                "sum_cents": pc.cast(t["sum_cents"], pa.int64()),
+            }
+        )
+
+    return out.map_batches(cast_cols, batch_format="pyarrow")
+
+
+SQL_EVENTS_HOPPING = """
+WITH e AS (
+  SELECT event_type,
+         epoch_us(ts) // 900000000 AS hop,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+x AS (
+  SELECT event_type, hop - i.i AS window_id, cents
+  FROM e, (SELECT unnest(range(4)) AS i) i
+)
+SELECT event_type,
+       CAST(window_id AS BIGINT) AS window_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(cents) AS BIGINT) AS sum_cents
+FROM x
+GROUP BY event_type, window_id
+"""
+
+
 def q_weighted_sample_grouped(sf_dir: str):
     """PER-GROUP weighted sampling without replacement: each event
     type's 5 events with the highest Efraimidis–Spirakis md5-maxw
@@ -4869,6 +4910,7 @@ def queries() -> Dict[str, Callable]:
         "q_bigram_next": q_bigram_next,
         "q_grouped_p90": q_grouped_p90,
         "q_weighted_sample_grouped": q_weighted_sample_grouped,
+        "q_events_hopping": q_events_hopping,
         "q_fingerprint": q_fingerprint,
         "q_jaccard_vs_doc0": q_jaccard_vs_doc0,
         # embeddings (oracle-checked)
@@ -5000,6 +5042,7 @@ def _build_oracle_sql() -> Dict[str, str]:
         "q_bigram_next": SQL_BIGRAM_NEXT,
         "q_grouped_p90": SQL_GROUPED_P90,
         "q_weighted_sample_grouped": SQL_WEIGHTED_SAMPLE_GROUPED,
+        "q_events_hopping": SQL_EVENTS_HOPPING,
         "q_fingerprint": SQL_FINGERPRINT,
         "q_jaccard_vs_doc0": SQL_JACCARD_VS_DOC0,
         "q_knn_cosine": SQL_KNN_COSINE,

@@ -1074,7 +1074,10 @@ def span_ngram_occurrences(
     digest (64-bit keys collide at ~2^32 distinct grams — hours of a
     100 TB corpus), ``hash_bits=64`` is the md5-twin oracle mode.
     Tokenization is the repo-wide ``[a-z0-9_]+`` lowercase idiom;
-    the gram string is the ' '-join of its tokens (what SQL md5s)."""
+    the gram string is the ' '-join of its tokens (what SQL md5s).
+    ``id_col`` must be integer-typed (the whole span family exchanges
+    int64 doc ids; string ids would need a stable_hash64 id column
+    first)."""
     from ..functions.hashing import md5_u128, md5_u64
 
     if hash_bits not in (64, 128):

@@ -11,6 +11,7 @@ aggregate; sessionization sorts each key's group by ts inside
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -284,4 +285,72 @@ def funnel_stages(
         events.select_columns([key_col, ts_col, type_col])
         .groupby(key_col)
         .map_groups(per_key, batch_format="pandas")
+    )
+
+
+def hopping_window_agg(
+    events: ray.data.Dataset,
+    window_s: int,
+    hop_s: int,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> ray.data.Dataset:
+    """Hopping (overlapping) windows: length ``window_s``, advancing
+    every ``hop_s`` — each event belongs to ``window_s // hop_s``
+    windows.  ``window_s`` must be a multiple of ``hop_s`` so
+    membership is pure integer arithmetic (window_id = the window's
+    start hop index: hop_of(ts) - i for i in [0, m)), hash-exact in
+    SQL.  Map-side explode (m small copies of (key, window, cents),
+    never the event row) + ONE (key, window)-keyed exchange — the
+    same shape as tumbling with an m-fold pre-aggregated fan-out."""
+    from ray.data.aggregate import Count, Sum
+
+    if window_s % hop_s != 0:
+        raise ValueError("window_s must be a multiple of hop_s")
+    m = window_s // hop_s
+    hop_us = hop_s * 1_000_000
+
+    def explode(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            return pa.table(
+                {
+                    key_col: t[key_col],
+                    "window_id": pa.array([], pa.int64()),
+                    "cents": pa.array([], pa.int64()),
+                }
+            )
+        micros = pc.cast(t[ts_col], pa.int64()).to_numpy()
+        hop = micros // hop_us
+        cents = (
+            pc.cast(
+                pc.round(
+                    pc.multiply(
+                        pc.cast(t[value_col], pa.float64()),
+                        pa.scalar(100.0),
+                    )
+                ),
+                pa.int64(),
+            ).to_numpy()
+        )
+        keys = t[key_col].to_numpy(zero_copy_only=False)
+        win = np.repeat(hop, m) - np.tile(
+            np.arange(m, dtype=np.int64), n
+        )
+        return pa.table(
+            {
+                key_col: pa.array(np.repeat(keys, m)),
+                "window_id": pa.array(win, pa.int64()),
+                "cents": pa.array(np.repeat(cents, m), pa.int64()),
+            }
+        )
+
+    return (
+        events.map_batches(explode, batch_format="pyarrow")
+        .groupby([key_col, "window_id"])
+        .aggregate(
+            Count(alias_name="n_events"),
+            Sum("cents", alias_name="sum_cents"),
+        )
     )
