@@ -4647,6 +4647,40 @@ WHERE rn = (n - 1) * 9 // 10 + 1
 """
 
 
+_MIX_T_DOCS = int(0.75 * (1 << 64))
+_MIX_T_EVENTS = int(0.25 * (1 << 64))
+
+
+def q_mixture(sf_dir: str):
+    """Deterministic source-weighted data mixing — the
+    training-mixture shape: the documents corpus contributes a 75%
+    hash-sample, the events stream a 25% hash-sample, each tagged with
+    its source name; the union streams with no shuffle and the mixture
+    is reproducible/resumable on any partitioning (same key -> same
+    decision).  Output (source, key)."""
+    docs = _read(sf_dir, "documents", ["doc_id"])
+    events = _read(sf_dir, "events", ["event_id"])
+    return stats.mixture_sample(
+        [
+            ("docs", docs, "doc_id", 0.75),
+            ("events", events, "event_id", 0.25),
+        ]
+    )
+
+
+SQL_MIXTURE = f"""
+SELECT 'docs' AS source, CAST(doc_id AS BIGINT) AS key
+FROM documents
+WHERE CAST(('0x' || substr(md5('mix-docs' || CAST(doc_id AS VARCHAR)),
+            1, 16)) AS UBIGINT) < {_MIX_T_DOCS}
+UNION ALL
+SELECT 'events' AS source, CAST(event_id AS BIGINT) AS key
+FROM events
+WHERE CAST(('0x' || substr(md5('mix-events' || CAST(event_id AS VARCHAR)),
+            1, 16)) AS UBIGINT) < {_MIX_T_EVENTS}
+"""
+
+
 def q_events_hopping(sf_dir: str):
     """Hopping (overlapping) windows — 1-hour windows every 15 min
     (each event counted in 4 windows): per (type, window start-hop)
@@ -4911,6 +4945,7 @@ def queries() -> Dict[str, Callable]:
         "q_grouped_p90": q_grouped_p90,
         "q_weighted_sample_grouped": q_weighted_sample_grouped,
         "q_events_hopping": q_events_hopping,
+        "q_mixture": q_mixture,
         "q_fingerprint": q_fingerprint,
         "q_jaccard_vs_doc0": q_jaccard_vs_doc0,
         # embeddings (oracle-checked)
@@ -5043,6 +5078,7 @@ def _build_oracle_sql() -> Dict[str, str]:
         "q_grouped_p90": SQL_GROUPED_P90,
         "q_weighted_sample_grouped": SQL_WEIGHTED_SAMPLE_GROUPED,
         "q_events_hopping": SQL_EVENTS_HOPPING,
+        "q_mixture": SQL_MIXTURE,
         "q_fingerprint": SQL_FINGERPRINT,
         "q_jaccard_vs_doc0": SQL_JACCARD_VS_DOC0,
         "q_knn_cosine": SQL_KNN_COSINE,

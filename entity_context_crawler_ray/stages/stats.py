@@ -983,3 +983,37 @@ def heavy_hitters_exact(
         return t.filter(keep)
 
     return agg.map_batches(final, batch_format="pyarrow")
+
+
+def mixture_sample(
+    sources,
+    salt: str = "mix",
+) -> ray.data.Dataset:
+    """Deterministic source-weighted data mixing — the
+    training-mixture shape (N corpora, each contributing at its own
+    rate): every source contributes its hash-``p`` sample
+    (:func:`sample_fraction` with a per-source salt), tagged with the
+    source name; the union is streaming (no shuffle, no
+    materialization).  ``sources`` is a sequence of
+    ``(name, dataset, key_col, p)``.  Same key -> same decision on any
+    partitioning and across reruns, so mixtures are reproducible and
+    resumable by construction."""
+    import pyarrow.compute as pc
+
+    parts = []
+    for name, ds, key_col, p in sources:
+        sampled = sample_fraction(ds, key_col, p, salt=f"{salt}-{name}")
+
+        def tag(t: pa.Table, _name=name, _key=key_col) -> pa.Table:
+            return pa.table(
+                {
+                    "source": pa.array([_name] * t.num_rows, pa.string()),
+                    "key": pc.cast(t[_key], pa.int64()),
+                }
+            )
+
+        parts.append(sampled.map_batches(tag, batch_format="pyarrow"))
+    out = parts[0]
+    for nxt in parts[1:]:
+        out = out.union(nxt)
+    return out
