@@ -432,6 +432,9 @@ def grouped_median_cents(
     import pyarrow.compute as pc
     from ray.data.aggregate import Sum
 
+    if not (0 <= q_num <= q_den and q_den > 0):
+        raise ValueError("need 0 <= q_num <= q_den (a quantile in [0, 1])")
+
     def partial(batch: pa.Table) -> pa.Table:
         if cents_in:
             cents = pc.cast(batch[value_col], pa.int64())
