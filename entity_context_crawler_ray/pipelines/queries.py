@@ -26,7 +26,7 @@ import ray.data
 
 from ..functions.hashing import stable_hash64
 from ..functions.text import TOKEN_PATTERN, clean_up_text, sql_window
-from ..stages import dedup, media, relational, similarity, stats, textstats, windows
+from ..stages import dedup, media, packing, relational, similarity, stats, textstats, windows
 from ..sources import docs as docsrc
 
 # ---------------------------------------------------------------------------
@@ -4681,6 +4681,85 @@ WHERE CAST(('0x' || substr(md5('mix-events' || CAST(event_id AS VARCHAR)),
 """
 
 
+def q_chunk_documents(sf_dir: str):
+    """Fixed-size token chunking with overlap (50-token chunks every
+    40): the long-context training-prep step — (doc_id, chunk_id,
+    chunk_text, n_tokens), boundaries per-doc local so the stage is a
+    pure map with zero exchange.  The reconstructed chunk TEXT is
+    hash-verified, not just the counts."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return packing.chunk_documents(ds, chunk_tokens=50, overlap=10)
+
+
+SQL_CHUNK_DOCUMENTS = """
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS ts
+  FROM documents
+),
+c AS (
+  SELECT doc_id, ts, len(ts) AS m,
+         CASE WHEN len(ts) <= 50 THEN 1
+              ELSE 1 + (len(ts) - 50 + 39) // 40 END AS nc
+  FROM toks WHERE len(ts) > 0
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(i AS BIGINT) AS chunk_id,
+       array_to_string(ts[i * 40 + 1 : least(i * 40 + 50, m)], ' ')
+         AS chunk_text,
+       CAST(least(i * 40 + 50, m) - i * 40 AS BIGINT) AS n_tokens
+FROM (SELECT doc_id, ts, m, unnest(range(nc)) AS i FROM c)
+"""
+
+
+def q_cdc_chunks(sf_dir: str):
+    """Content-defined chunking (FastCDC shape on tokens, w=4 window,
+    boundary when the window md5 % 32 == 0): insertions only move
+    LOCAL boundaries, so chunk keys dedup across near-identical docs
+    — (doc_id, chunk_id, tok_start, tok_end, chunk_key), every
+    boundary decision and chunk key hash-verified."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return packing.cdc_chunks(ds, w=4, mask_bits=5)
+
+
+SQL_CDC_CHUNKS = """
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS ts
+  FROM documents
+),
+tk AS (SELECT doc_id, ts, len(ts) AS m FROM toks WHERE len(ts) > 0),
+wins AS (
+  SELECT doc_id, ts, m, unnest(range(greatest(m - 3, 0))) AS i
+  FROM tk
+),
+b AS (
+  SELECT doc_id, i + 3 AS p
+  FROM wins
+  WHERE CAST(('0x' || substr(md5(array_to_string(ts[i + 1 : i + 4], ' ')),
+              1, 16)) AS UBIGINT) % 32 = 0
+    AND i + 3 < m - 1
+),
+starts AS (
+  SELECT doc_id, 0 AS s FROM tk
+  UNION ALL
+  SELECT doc_id, p + 1 FROM b
+),
+r AS (
+  SELECT doc_id, s,
+         row_number() OVER (PARTITION BY doc_id ORDER BY s) - 1
+           AS chunk_id,
+         lead(s) OVER (PARTITION BY doc_id ORDER BY s) AS nxt
+  FROM starts
+)
+SELECT CAST(r.doc_id AS BIGINT) AS doc_id,
+       CAST(r.chunk_id AS BIGINT) AS chunk_id,
+       CAST(r.s AS BIGINT) AS tok_start,
+       CAST(coalesce(r.nxt, t.m) AS BIGINT) AS tok_end,
+       substr(md5(array_to_string(t.ts[r.s + 1 : coalesce(r.nxt, t.m)], ' ')),
+              1, 16) AS chunk_key
+FROM r JOIN tk t ON t.doc_id = r.doc_id
+"""
+
+
 def q_events_hopping(sf_dir: str):
     """Hopping (overlapping) windows — 1-hour windows every 15 min
     (each event counted in 4 windows): per (type, window start-hop)
@@ -4946,6 +5025,8 @@ def queries() -> Dict[str, Callable]:
         "q_weighted_sample_grouped": q_weighted_sample_grouped,
         "q_events_hopping": q_events_hopping,
         "q_mixture": q_mixture,
+        "q_chunk_documents": q_chunk_documents,
+        "q_cdc_chunks": q_cdc_chunks,
         "q_fingerprint": q_fingerprint,
         "q_jaccard_vs_doc0": q_jaccard_vs_doc0,
         # embeddings (oracle-checked)
@@ -5079,6 +5160,8 @@ def _build_oracle_sql() -> Dict[str, str]:
         "q_weighted_sample_grouped": SQL_WEIGHTED_SAMPLE_GROUPED,
         "q_events_hopping": SQL_EVENTS_HOPPING,
         "q_mixture": SQL_MIXTURE,
+        "q_chunk_documents": SQL_CHUNK_DOCUMENTS,
+        "q_cdc_chunks": SQL_CDC_CHUNKS,
         "q_fingerprint": SQL_FINGERPRINT,
         "q_jaccard_vs_doc0": SQL_JACCARD_VS_DOC0,
         "q_knn_cosine": SQL_KNN_COSINE,

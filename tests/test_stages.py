@@ -1623,3 +1623,43 @@ def test_weighted_sample_grouped_per_group_topk():
             key=lambda k: (-pri[k], k),
         )
         assert got == exp
+
+
+def test_chunking_fixed_and_cdc_locality():
+    from entity_context_crawler_ray.stages import packing
+
+    words = " ".join(f"w{i % 37}x{i % 11}" for i in range(300))
+    docs = ray.data.from_items([{"doc_id": 1, "text": words}])
+    out = (
+        packing.chunk_documents(docs, chunk_tokens=50, overlap=10)
+        .to_pandas()
+        .sort_values("chunk_id")
+    )
+    # 300 tokens, step 40: 1 + ceil(250/40) = 8 chunks; last is short
+    assert len(out) == 8
+    assert out["n_tokens"].tolist() == [50] * 7 + [20]
+    assert out.iloc[0]["chunk_text"].split()[:2] == ["w0x0", "w1x1"]
+    # overlap: chunk i starts 40 tokens in, repeating the last 10
+    assert out.iloc[0]["chunk_text"].split()[40:] == \
+        out.iloc[1]["chunk_text"].split()[:10]
+
+    # CDC locality: inserting a token near the front must leave the
+    # TAIL chunk keys identical (boundaries are content-defined)
+    both = ray.data.from_items(
+        [
+            {"doc_id": 1, "text": words},
+            {"doc_id": 2, "text": "zzz " + words},
+        ]
+    )
+    cdc = packing.cdc_chunks(both, w=4, mask_bits=4).to_pandas()
+    k1 = cdc[cdc["doc_id"] == 1]["chunk_key"].tolist()
+    k2 = cdc[cdc["doc_id"] == 2]["chunk_key"].tolist()
+    assert len(k1) > 3, "corpus should produce several CDC chunks"
+    # all but the first chunk(s) re-align: the shared tail dominates
+    shared = set(k1) & set(k2)
+    assert len(shared) >= len(k1) - 2
+    # zero-token docs emit nothing
+    empty = packing.cdc_chunks(
+        ray.data.from_items([{"doc_id": 3, "text": "..."}])
+    ).to_pandas()
+    assert len(empty) == 0
